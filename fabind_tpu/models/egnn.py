@@ -1,0 +1,394 @@
+"""E(3)-equivariant message passing, TPU-native.
+
+Re-designs the reference EGNN stack (FABind/fabind/models/egnn.py:20-466,
+FABind_plus/fabind/models/egnn.py) for dense fixed-shape execution:
+
+- `EGCL` (reference MC_E_GCL, egnn.py:20-144): messages over a per-destination
+  top-K neighbor table; the two global tokens (O(Nc)/O(Np) degree) are
+  aggregated in a dense side branch sharing the same MLPs.
+- `InterAttention` (reference MC_Att_L, egnn.py:147-333): exact dense masked
+  bipartite attention over ligand↔pocket pairs. `scatter_softmax` per
+  destination becomes a masked row softmax; `linear_kv([radial, h_j])`
+  (egnn.py:200-205) is decomposed as kv_node_j + radial_ij * w_r so the
+  aggregations are MXU matmuls.
+- `MCAttEGNN` (egnn.py:336-466): the layer stack with the in-loop LAS
+  projected-gradient correction (egnn.py:433-448).
+
+All coordinates here are normalized (divided by coordinate_scale).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fabind_tpu.config import ModelConfig
+from fabind_tpu.models.layers import InteractionModule, MLPBlock
+from fabind_tpu.models.cross_att import CrossAttentionModule
+from fabind_tpu.ops import graph as G
+from fabind_tpu.ops.geometry import las_projection_step
+
+Array = jax.Array
+BIG = 1e9
+
+
+class GraphInputs(NamedTuple):
+    """Static (per-forward) graph data for one complex batch."""
+
+    lig_mask: Array     # [B, Nc] bool
+    pkt_mask: Array     # [B, Np] bool
+    bond_idx: Array     # [B, Nc, Kb] int32 ligand-local bond neighbors
+    bond_mask: Array    # [B, Nc, Kb] bool
+    las_adj: Array      # [B, Nc, Nc] bool symmetric LAS adjacency
+    las_ref: Array      # [B, Nc, 3] normalized LAS reference coords
+
+    @property
+    def layout(self) -> G.ComplexLayout:
+        return G.ComplexLayout(self.lig_mask.shape[1], self.pkt_mask.shape[1])
+
+    def node_mask(self) -> Array:
+        return self.layout.node_mask(self.lig_mask, self.pkt_mask)
+
+
+def _masked_softmax(logits: Array, mask: Array, axis: int) -> Array:
+    logits = jnp.where(mask, logits, -BIG)
+    out = jax.nn.softmax(logits, axis=axis)
+    return out * mask.astype(out.dtype)
+
+
+def _norm_div(r_sq_sum: Array, cfg: ModelConfig) -> Array:
+    """Per-sample radial normalizer (egnn.py:772-786), guarded against
+    empty edge sets."""
+    if cfg.rm_F_norm or cfg.norm_type == "none":
+        return jnp.ones_like(r_sq_sum)
+    if cfg.norm_type == "per_sample":
+        n = jnp.sqrt(r_sq_sum)
+    elif cfg.norm_type == "all_sample":
+        n = jnp.sqrt(jnp.sum(r_sq_sum)) * jnp.ones_like(r_sq_sum)
+    else:
+        raise ValueError(cfg.norm_type)
+    return jnp.where(n == 0, 1.0, n)
+
+
+class EGCL(nn.Module):
+    """Multi-channel E(n) conv layer on the ctx graph (egnn.py:20-144).
+
+    n_channel = 1 throughout FABind (model.py:37): radial is the squared
+    distance, coords are [B, N, 3].
+    """
+
+    cfg: ModelConfig
+    hidden: int
+    coord_max: float   # normalize_coord(10), egnn.py:378
+
+    def _mlps(self, edge_in: int):
+        cfg = self.cfg
+        if cfg.is_plus:
+            s = cfg.mlp_hidden_scale
+            edge_mlp = MLPBlock(s * edge_in, self.hidden, act="relu",
+                                use_ln=cfg.use_ln_mlp, last_act=True,
+                                dropout_rate=cfg.dropout, dropout_pos="both",
+                                name="edge_mlp")
+            node_in = 2 * self.hidden
+            node_mlp = MLPBlock(s * node_in, self.hidden, act="relu",
+                                use_ln=cfg.use_ln_mlp, last_act=True,
+                                dropout_rate=cfg.dropout, dropout_pos="both",
+                                name="node_mlp")
+            coord_mlp = MLPBlock(s * self.hidden, 1, act="relu",
+                                 use_ln=cfg.use_ln_mlp, bias_out=False,
+                                 dropout_rate=cfg.dropout, dropout_pos="inner",
+                                 name="coord_mlp")
+        else:
+            edge_mlp = MLPBlock(self.hidden, self.hidden, act="silu",
+                                last_act=True, name="edge_mlp")
+            node_mlp = MLPBlock(self.hidden, self.hidden, act="silu",
+                                name="node_mlp")
+            coord_mlp = MLPBlock(self.hidden, 1, act="silu", bias_out=False,
+                                 name="coord_mlp")
+        return edge_mlp, node_mlp, coord_mlp
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, ctx: G.CtxGraph,
+                 gi: GraphInputs, deterministic: bool = True
+                 ) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        layout = gi.layout
+        C = h.shape[-1]
+        edge_mlp, node_mlp, coord_mlp = self._mlps(2 * C + 1)
+        drop = nn.Dropout(cfg.dropout, name="dropout")
+
+        # ---- gather all three edge groups, compute raw radials ----
+        # neighbor part (normal destinations)
+        h_nbr = G.gather_nodes(h, ctx.nbr_idx)                  # [B,N,K,C]
+        x_nbr = G.gather_nodes(x, ctx.nbr_idx)                  # [B,N,K,3]
+        diff_n = x[:, :, None, :] - x_nbr
+        r_n = jnp.sum(diff_n * diff_n, axis=-1)                 # [B,N,K]
+        m_n = ctx.nbr_mask
+
+        # glb_c destination
+        h_gc = G.gather_nodes(h, jnp.broadcast_to(
+            ctx.glbc_src[None], (h.shape[0],) + ctx.glbc_src.shape))
+        x_gc = G.gather_nodes(x, jnp.broadcast_to(
+            ctx.glbc_src[None], (x.shape[0],) + ctx.glbc_src.shape))
+        diff_c = x[:, layout.glb_c][:, None, :] - x_gc          # [B,Dc,3]
+        r_c = jnp.sum(diff_c * diff_c, axis=-1)
+        m_c = ctx.glbc_src_mask
+
+        # glb_p destination
+        h_gp = G.gather_nodes(h, jnp.broadcast_to(
+            ctx.glbp_src[None], (h.shape[0],) + ctx.glbp_src.shape))
+        x_gp = G.gather_nodes(x, jnp.broadcast_to(
+            ctx.glbp_src[None], (x.shape[0],) + ctx.glbp_src.shape))
+        diff_p = x[:, layout.glb_p][:, None, :] - x_gp
+        r_p = jnp.sum(diff_p * diff_p, axis=-1)
+        m_p = ctx.glbp_src_mask
+
+        # ---- per-sample radial F-norm over the full ctx edge set ----
+        r_sq = (
+            jnp.sum(jnp.where(m_n, r_n * r_n, 0.0), axis=(1, 2))
+            + jnp.sum(jnp.where(m_c, r_c * r_c, 0.0), axis=1)
+            + jnp.sum(jnp.where(m_p, r_p * r_p, 0.0), axis=1)
+        )
+        div = _norm_div(r_sq, cfg)
+
+        def messages(h_dst, h_src, radial, div_b):
+            feat = jnp.concatenate(
+                [jnp.broadcast_to(h_dst[..., None, :], h_src.shape), h_src,
+                 (radial / div_b)[..., None]], axis=-1)
+            m = edge_mlp(feat, deterministic=deterministic)
+            if not cfg.is_plus:
+                m = drop(m, deterministic=deterministic)
+            return m
+
+        div_n = div[:, None, None]
+        msg_n = messages(h, h_nbr, r_n, div_n)                  # [B,N,K,C]
+        msg_c = messages(h[:, layout.glb_c], h_gc, r_c, div[:, None])
+        msg_p = messages(h[:, layout.glb_p], h_gp, r_p, div[:, None])
+
+        # ---- coord update: segment-mean of diff * coord_mlp(m) (egnn.py:111-128)
+        def coord_agg(msg, diff, mask):
+            w = coord_mlp(msg, deterministic=deterministic)     # [...,1]
+            t = diff * w * mask[..., None].astype(diff.dtype)
+            cnt = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+            return jnp.sum(t, axis=-2) / cnt.astype(diff.dtype)
+
+        agg_x = coord_agg(msg_n, diff_n, m_n)                   # [B,N,3]
+        agg_x = agg_x.at[:, layout.glb_c].set(coord_agg(msg_c, diff_c, m_c))
+        agg_x = agg_x.at[:, layout.glb_p].set(coord_agg(msg_p, diff_p, m_p))
+        x_out = x + jnp.clip(agg_x, -self.coord_max, self.coord_max)
+
+        # ---- node update: h + node_mlp([h, sum(m)]) (egnn.py:89-109)
+        agg_h = jnp.sum(msg_n * m_n[..., None].astype(msg_n.dtype), axis=-2)
+        agg_h = agg_h.at[:, layout.glb_c].set(
+            jnp.sum(msg_c * m_c[..., None].astype(msg_c.dtype), axis=-2))
+        agg_h = agg_h.at[:, layout.glb_p].set(
+            jnp.sum(msg_p * m_p[..., None].astype(msg_p.dtype), axis=-2))
+        out = node_mlp(jnp.concatenate([h, agg_h], axis=-1),
+                       deterministic=deterministic)
+        if not cfg.is_plus:
+            out = drop(out, deterministic=deterministic)
+        h_out = h + out
+        return h_out, x_out
+
+
+class InterAttention(nn.Module):
+    """Interfacial attention layer on the bipartite inter graph
+    (reference MC_Att_L, egnn.py:147-333)."""
+
+    cfg: ModelConfig
+    hidden: int
+    coord_max: float
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, adj: Array, gi: GraphInputs,
+                 pair_embed: Optional[Array], pair_mask: Optional[Array],
+                 deterministic: bool = True):
+        cfg = self.cfg
+        layout = gi.layout
+        B = h.shape[0]
+        C = h.shape[-1]
+        Nc, Np = layout.n_lig, layout.n_pkt
+
+        # ---------- trio encoder (egnn.py:254-305) ----------
+        pair_bias_pc = None
+        if cfg.add_attn_pair_bias:
+            c_side = h[:, layout.cside_slice]
+            p_side = h[:, layout.pside_slice]
+            ones = jnp.ones((B, 1), bool)
+            c_mask_side = jnp.concatenate([ones, gi.lig_mask], axis=1)
+            p_mask_side = jnp.concatenate([ones, gi.pkt_mask], axis=1)
+            if cfg.add_cross_attn_layer:
+                p_side, c_side, pair_embed = CrossAttentionModule(
+                    rm_layernorm=cfg.rm_layernorm,
+                    keep_trig_attn=cfg.keep_trig_attn,
+                    dropout_rate=cfg.dropout,
+                    name="cross_attn_module",
+                )(p_side, p_mask_side, c_side, c_mask_side,
+                  pair_embed, pair_mask, deterministic=deterministic)
+                h = layout.scatter_sides(c_side, p_side)
+            else:
+                upd, _ = InteractionModule(
+                    self.hidden, self.hidden, opm=cfg.opm,
+                    rm_layernorm=cfg.rm_layernorm, name="inter_layer",
+                )(p_side, c_side, p_mask_side, c_mask_side)
+                pair_embed = (pair_embed + upd) if cfg.explicit_pair_embed else upd
+            # pair-embed bias per inter edge: cell (p_local, c_local) serves
+            # both edge directions (egnn.py:286-305)
+            bias_full = nn.Dense(1, name="attn_bias_proj")(pair_embed)[..., 0]
+            pair_bias_pc = bias_full[:, 1:, 1:]                 # [B, Np, Nc]
+
+        # ---------- radial over inter edges ----------
+        x_l = x[:, layout.lig_slice]
+        x_p = x[:, layout.pkt_slice]
+        diff_lp = x_l[:, :, None, :] - x_p[:, None, :, :]       # [B,Nc,Np,3]
+        r_raw = jnp.sum(diff_lp * diff_lp, axis=-1)             # [B,Nc,Np]
+        r_sq_sum = 2.0 * jnp.sum(jnp.where(adj, r_raw * r_raw, 0.0),
+                                 axis=(1, 2))                   # both directions
+        div = _norm_div(r_sq_sum, cfg)
+        r = r_raw / div[:, None, None]
+
+        # ---------- q / kv (egnn.py:186-225) ----------
+        q = nn.Dense(self.hidden, name="linear_q")(h)
+        # torch Linear(1+C -> 2C) on cat([radial, target]); decomposed:
+        kv_kernel = self.param(
+            "linear_kv_kernel", nn.initializers.lecun_normal(), (1 + C, 2 * self.hidden))
+        kv_bias = self.param("linear_kv_bias", nn.initializers.zeros,
+                             (2 * self.hidden,))
+        kv_node = h @ kv_kernel[1:] + kv_bias                   # [B,N,2C]
+        # interleaved split kv[...,0::2], kv[...,1::2] (egnn.py:205)
+        kv_node = kv_node.reshape(B, -1, self.hidden, 2)
+        k_node, v_node = kv_node[..., 0], kv_node[..., 1]
+        w_r = kv_kernel[0].reshape(self.hidden, 2)
+        k_r, v_r = w_r[:, 0], w_r[:, 1]
+
+        q_l = q[:, layout.lig_slice]
+        q_p = q[:, layout.pkt_slice]
+        k_node_l = k_node[:, layout.lig_slice]
+        k_node_p = k_node[:, layout.pkt_slice]
+        v_node_l = v_node[:, layout.lig_slice]
+        v_node_p = v_node[:, layout.pkt_slice]
+
+        if cfg.is_plus:
+            s = cfg.mlp_hidden_scale
+            coord_mlp = MLPBlock(s * self.hidden, 1, act="relu",
+                                 use_ln=cfg.use_ln_mlp, bias_out=False,
+                                 dropout_rate=cfg.dropout, dropout_pos="inner",
+                                 name="coord_mlp")
+        else:
+            coord_mlp = MLPBlock(self.hidden, 1, act="silu", bias_out=False,
+                                 name="coord_mlp")
+        drop = nn.Dropout(cfg.dropout, name="dropout")
+
+        def direction(q_d, k_node_s, v_node_s, r_ds, adj_ds, bias_ds, x_d, x_s,
+                      diff_ds):
+            """One attention direction: destinations d attend over sources s.
+
+            q_d [B,Nd,C]; *_s [B,Ns,C]; r_ds/adj_ds/bias_ds [B,Nd,Ns];
+            diff_ds [B,Nd,Ns,3] = x_d - x_s.
+            """
+            logits = jnp.einsum("bdc,bsc->bds", q_d, k_node_s)
+            logits = logits + r_ds * jnp.einsum("bdc,c->bd", q_d, k_r)[..., None]
+            if bias_ds is not None:
+                logits = logits + bias_ds
+            A = _masked_softmax(logits, adj_ds, axis=-1)        # [B,Nd,Ns]
+            # h aggregation: Σ_s A (v_node_s + r v_r)
+            agg = jnp.einsum("bds,bsc->bdc", A, v_node_s)
+            agg = agg + jnp.sum(A * r_ds, axis=-1)[..., None] * v_r
+            # coord: Σ_s A * coord_mlp(v_edge) * diff  (egnn.py:239-252)
+            v_edge = v_node_s[:, None, :, :] + r_ds[..., None] * v_r
+            phi = coord_mlp(v_edge, deterministic=deterministic)[..., 0]
+            t = A * phi                                          # [B,Nd,Ns]
+            dx = jnp.sum(t, axis=-1)[..., None] * x_d - jnp.einsum(
+                "bds,bsx->bdx", t, x_s)
+            return agg, dx
+
+        # ligand destinations over pocket sources
+        bias_cp = None if pair_bias_pc is None else jnp.swapaxes(pair_bias_pc, 1, 2)
+        agg_l, dx_l = direction(q_l, k_node_p, v_node_p, r, adj, bias_cp,
+                                x_l, x_p, diff_lp)
+        # pocket destinations over ligand sources
+        r_t = jnp.swapaxes(r, 1, 2)
+        adj_t = jnp.swapaxes(adj, 1, 2)
+        agg_p, dx_p = direction(q_p, k_node_l, v_node_l, r_t, adj_t,
+                                pair_bias_pc, x_p, x_l,
+                                -jnp.swapaxes(diff_lp, 1, 2))
+
+        agg = jnp.zeros_like(h)
+        agg = agg.at[:, layout.lig_slice].set(agg_l)
+        agg = agg.at[:, layout.pkt_slice].set(agg_p)
+        h = h + drop(agg, deterministic=deterministic)
+
+        if cfg.is_plus and cfg.inter_additional_mlp:
+            s = cfg.mlp_hidden_scale
+            h = h + MLPBlock(s * self.hidden, self.hidden, act="relu",
+                             use_ln=cfg.use_ln_mlp, last_act=True,
+                             dropout_rate=cfg.dropout, dropout_pos="both",
+                             name="node_mlp")(h, deterministic=deterministic)
+
+        dx = jnp.zeros_like(x)
+        dx = dx.at[:, layout.lig_slice].set(dx_l)
+        dx = dx.at[:, layout.pkt_slice].set(dx_p)
+        x = x + jnp.clip(dx, -self.coord_max, self.coord_max)
+        return h, x, pair_embed
+
+
+class MCAttEGNN(nn.Module):
+    """The EGNN stack (egnn.py:336-466): n_layers x (EGCL -> InterAttention ->
+    LAS projection) + out EGCL, with linear in/out."""
+
+    cfg: ModelConfig
+    hidden: int
+    out_dim: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, gi: GraphInputs,
+                 pair_embed: Optional[Array], pair_mask: Optional[Array],
+                 intra_cutoff: float, inter_cutoff: float, ctx_k: int,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        layout = gi.layout
+        coord_max = cfg.normalize(10.0)
+        las_clamp = cfg.normalize(15.0)
+        movable = layout.movable()[None, :, None]
+
+        h = nn.Dense(self.hidden, name="linear_in")(h)
+        h = nn.Dropout(cfg.dropout, name="dropout")(h, deterministic=deterministic)
+
+        def maybe_fix(x_old, x_new):
+            if cfg.fix_pocket:
+                return jnp.where(movable, x_new, x_old)
+            return x_new
+
+        for i in range(self.n_layers):
+            # edges rebuilt from current coords every layer invocation of the
+            # recycle loop; within the stack the reference reuses the edges
+            # built at loop entry (att_model.py:229-231), so we build once per
+            # __call__ here, matching that semantics.
+            if i == 0:
+                ctx = G.build_ctx_graph(x, layout, gi.lig_mask, gi.pkt_mask,
+                                        gi.bond_idx, gi.bond_mask,
+                                        intra_cutoff, ctx_k)
+                adj = G.build_inter_graph(x, layout, gi.lig_mask, gi.pkt_mask,
+                                          inter_cutoff).adj
+            h, x_new = EGCL(cfg, self.hidden, coord_max, name=f"gcl_{i}")(
+                h, x, ctx, gi, deterministic)
+            x = maybe_fix(x, x_new)
+            h, x_new, pair_embed = InterAttention(
+                cfg, self.hidden, coord_max, name=f"att_{i}")(
+                    h, x, adj, gi, pair_embed, pair_mask, deterministic)
+            x = maybe_fix(x, x_new)
+            if not cfg.rm_LAS_constrained_optim and not cfg.only_last_LAS:
+                x_l = las_projection_step(
+                    x[:, layout.lig_slice], gi.las_ref, gi.las_adj,
+                    cfg.geometry_reg_step_size, las_clamp, steps=cfg.geom_reg_steps)
+                x = x.at[:, layout.lig_slice].set(x_l)
+
+        h, x_new = EGCL(cfg, self.hidden, coord_max, name="out_layer")(
+            h, x, ctx, gi, deterministic)
+        x = maybe_fix(x, x_new)
+        h = nn.Dropout(cfg.dropout, name="dropout_out")(h, deterministic=deterministic)
+        h = nn.Dense(self.out_dim, name="linear_out")(h)
+        return h, x, pair_embed

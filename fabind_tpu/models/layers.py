@@ -1,0 +1,194 @@
+"""Primitive neural blocks shared by FABind and FABind+.
+
+Covers the reference's MLP families (FABind Sequential MLPs, egnn.py:40-60;
+FABind+ MLP/MLPwithLastAct/MLPwoBias/MLP4Confidence,
+FABind_plus/fabind/models/model_utils.py:10-97), the OpenFold-style gated
+multi-head attention (model_utils.py:41-159), Transition, InteractionModule and
+the RBF distance modules (model_utils.py:162-252).
+
+All modules are flax.linen; parameter tree names mirror the torch module names
+so the checkpoint converter (fabind_tpu/train/convert.py) is a mechanical
+rename + transpose.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+ACTS = {"silu": jax.nn.silu, "relu": jax.nn.relu}
+
+
+class MLPBlock(nn.Module):
+    """Configurable 2-linear MLP covering both variants' MLP families.
+
+    FABind base edge/node/coord MLPs are Sequential(Linear, act[, Linear, act])
+    with SiLU and no LayerNorm (egnn.py:40-60); FABind+ replaces them with
+    MLP/MLPwithLastAct/MLPwoBias (relu, optional LayerNorm `use_ln_mlp`,
+    dropout inside, hidden = n*in_dim) (FABind_plus model_utils.py:10-74).
+    """
+
+    hidden_dim: int
+    out_dim: int
+    act: str = "silu"
+    use_ln: bool = False
+    last_act: bool = False
+    bias_out: bool = True
+    dropout_rate: float = 0.0
+    # dropout placement: "none" | "inner" (after first act) | "both"
+    dropout_pos: str = "none"
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        act = ACTS[self.act]
+        if self.use_ln:
+            x = nn.LayerNorm(name="layernorm")(x)
+        x = nn.Dense(self.hidden_dim, name="linear1")(x)
+        x = act(x)
+        if self.dropout_pos in ("inner", "both") and self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, name="dropout1")(
+                x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, use_bias=self.bias_out, name="linear2")(x)
+        if self.last_act:
+            x = act(x)
+        if self.dropout_pos == "both" and self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, name="dropout2")(
+                x, deterministic=deterministic)
+        return x
+
+
+class Transition(nn.Module):
+    """LN -> Linear(n*h) -> relu -> Linear(h) (model_utils.py:162-175)."""
+
+    n: int = 4
+    rm_layernorm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = x.shape[-1]
+        if not self.rm_layernorm:
+            x = nn.LayerNorm(name="layernorm")(x)
+        x = nn.Dense(self.n * h, name="linear_1")(x)
+        x = nn.Dense(h, name="linear_2")(jax.nn.relu(x))
+        return x
+
+
+class TransitionDiffOutDim(nn.Module):
+    """FABind base pocket-cls head (FABind/fabind/models/model.py:11-24):
+    LN -> Linear(n*h) -> relu -> Linear(out)."""
+
+    out_dim: int = 1
+    n: int = 4
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        h = z.shape[-1]
+        z = nn.LayerNorm(name="layernorm")(z)
+        z = nn.Dense(self.n * h, name="linear1")(z)
+        z = nn.Dense(self.out_dim, name="linear2")(jax.nn.relu(z))
+        return z
+
+
+class Attention(nn.Module):
+    """OpenFold-style gated MHA with additive bias list
+    (model_utils.py:41-159). c_hidden is the per-head dim."""
+
+    c_hidden: int
+    no_heads: int
+    gating: bool = True
+
+    @nn.compact
+    def __call__(self, q_x: Array, kv_x: Array,
+                 biases: Optional[Sequence[Array]] = None) -> Array:
+        H, D = self.no_heads, self.c_hidden
+        c_q = q_x.shape[-1]
+        q = nn.Dense(H * D, use_bias=False, name="linear_q")(q_x)
+        k = nn.Dense(H * D, use_bias=False, name="linear_k")(kv_x)
+        v = nn.Dense(H * D, use_bias=False, name="linear_v")(kv_x)
+        q = q.reshape(q.shape[:-1] + (H, D)) / math.sqrt(D)
+        k = k.reshape(k.shape[:-1] + (H, D))
+        v = v.reshape(v.shape[:-1] + (H, D))
+        # [*, H, Q, K]
+        a = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        for b in biases or ():
+            a = a + b
+        a = jax.nn.softmax(a, axis=-1)
+        o = jnp.einsum("...hqk,...khd->...qhd", a, v)
+        if self.gating:
+            g = jax.nn.sigmoid(nn.Dense(H * D, name="linear_g")(q_x))
+            o = o * g.reshape(g.shape[:-1] + (H, D))
+        o = o.reshape(o.shape[:-2] + (H * D,))
+        return nn.Dense(c_q, name="linear_o")(o)
+
+
+class InteractionModule(nn.Module):
+    """Pair embedding from node embeddings (model_utils.py:177-223):
+    z_ij = Linear(p_i * c_j) (elementwise product einsum ...ik,...jk->...ijk),
+    or the outer-product-mean variant when opm=True."""
+
+    hidden_dim: int
+    pair_dim: int
+    opm: bool = False
+    rm_layernorm: bool = False
+
+    @nn.compact
+    def __call__(self, p_embed: Array, c_embed: Array,
+                 p_mask: Optional[Array] = None,
+                 c_mask: Optional[Array] = None):
+        if p_mask is None:
+            p_mask = jnp.ones(p_embed.shape[:-1], bool)
+        if c_mask is None:
+            c_mask = jnp.ones(c_embed.shape[:-1], bool)
+        inter_mask = jnp.einsum("...i,...j->...ij", p_mask, c_mask)
+        if not self.rm_layernorm:
+            p_embed = nn.LayerNorm(name="layer_norm_p")(p_embed)
+            c_embed = nn.LayerNorm(name="layer_norm_c")(c_embed)
+        p = nn.Dense(self.hidden_dim, name="linear_p")(p_embed)
+        c = nn.Dense(self.hidden_dim, name="linear_c")(c_embed)
+        if self.opm:
+            z = jnp.einsum("...bc,...de->...bdce", p, c)
+            z = z.reshape(z.shape[:-2] + (-1,))
+        else:
+            z = jnp.einsum("...ik,...jk->...ijk", p, c)
+        z = nn.Dense(self.pair_dim, name="linear_out")(z)
+        z = z * inter_mask[..., None].astype(z.dtype)
+        return z, inter_mask
+
+
+class GaussianSmearing(nn.Module):
+    """RBF expansion (model_utils.py:227-236)."""
+
+    start: float = 0.0
+    stop: float = 5.0
+    num_gaussians: int = 50
+
+    @nn.compact
+    def __call__(self, dist: Array) -> Array:
+        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        coeff = -0.5 / float(offset[1] - offset[0]) ** 2
+        d = dist[..., None] - offset
+        return jnp.exp(coeff * d * d)
+
+
+class RBFDistanceModule(nn.Module):
+    """RBF + MLP distance embedding (model_utils.py:239-252)."""
+
+    rbf_stop: float
+    hidden_dim: int
+    num_gaussian: int = 32
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, distance: Array, deterministic: bool = True) -> Array:
+        x = GaussianSmearing(0.0, self.rbf_stop, self.num_gaussian,
+                             name="rbf")(distance)
+        x = nn.Dense(self.hidden_dim, name="mlp_0")(x)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(self.dropout_rate, name="mlp_drop")(
+            x, deterministic=deterministic)
+        return nn.Dense(self.hidden_dim, name="mlp_3")(x)

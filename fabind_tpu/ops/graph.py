@@ -1,0 +1,283 @@
+"""Complex layout and on-device graph construction.
+
+TPU-native replacement for the reference's dynamic edge builder
+(FABind/fabind/models/att_model.py:37-128, `ComplexGraph.construct_edges` /
+`_radial_edges`): instead of O(N·n_max) candidate enumeration + torch.nonzero,
+we build
+
+- a fixed top-K neighbor table [B, N, K] for ctx (intra) message passing, and
+- a dense masked bipartite [B, Nc, Np] adjacency for inter attention,
+
+both from current coordinates, entirely inside jit with static shapes.
+
+Layout per sample (see DESIGN.md):
+    slot 0:            glb_c
+    slots 1..Nc:       ligand atoms
+    slot Nc+1:         glb_p
+    slots Nc+2..N-1:   pocket residues
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+BIG = 1e9
+
+
+class ComplexLayout(NamedTuple):
+    """Static slot arithmetic for the [glb_c|lig|glb_p|pkt] layout."""
+
+    n_lig: int   # Nc
+    n_pkt: int   # Np (or Nr for the whole-protein graph)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.n_lig + self.n_pkt + 2
+
+    @property
+    def glb_c(self) -> int:
+        return 0
+
+    @property
+    def glb_p(self) -> int:
+        return self.n_lig + 1
+
+    @property
+    def lig_slice(self):
+        return slice(1, 1 + self.n_lig)
+
+    @property
+    def pkt_slice(self):
+        return slice(self.n_lig + 2, self.n_nodes)
+
+    # "compound side" / "protein side" used by the pair embedding: include the
+    # global tokens as row 0 of each side (reference to_dense_batch over
+    # segment==0/1 keeps glb_c/glb_p, egnn.py:260-265).
+    @property
+    def cside_slice(self):
+        return slice(0, self.n_lig + 1)
+
+    @property
+    def pside_slice(self):
+        return slice(self.n_lig + 1, self.n_nodes)
+
+    def segment_id(self) -> Array:
+        """0 for compound side (incl glb_c), 1 for protein side (incl glb_p).
+
+        Matches utils/utils.py:356-358.
+        """
+        seg = jnp.zeros((self.n_nodes,), jnp.int32)
+        return seg.at[self.n_lig + 1:].set(1)
+
+    def is_global(self) -> Array:
+        g = jnp.zeros((self.n_nodes,), bool)
+        return g.at[self.glb_c].set(True).at[self.glb_p].set(True)
+
+    def movable(self) -> Array:
+        """Reference `mask`: glb_c + ligand + glb_p move, pocket is frozen
+        between recycles (utils/utils.py:359-361)."""
+        m = jnp.zeros((self.n_nodes,), bool)
+        return m.at[: self.n_lig + 2].set(True)
+
+    def node_mask(self, lig_mask: Array, pkt_mask: Array) -> Array:
+        """Per-sample validity [B, N] from ligand/pocket validity."""
+        b = lig_mask.shape[0]
+        ones = jnp.ones((b, 1), bool)
+        return jnp.concatenate([ones, lig_mask, ones, pkt_mask], axis=1)
+
+    def scatter_sides(self, c_side: Array, p_side: Array) -> Array:
+        """Re-assemble complex node array from the two sides."""
+        return jnp.concatenate([c_side, p_side], axis=1)
+
+
+class CtxGraph(NamedTuple):
+    """Ctx (intra) edge structure for one complex batch.
+
+    nbr_idx/nbr_mask: [B, N, K] per-destination neighbor table for all normal
+    (non-global) nodes. Global rows are fully masked; their (dense) incoming
+    edges are enumerated by static index vectors below.
+
+    glbc_src / glbp_src: [Dc], [Dp] static source slot indices for the two
+    global destinations (glb_c <- all ligand + glb_p; glb_p <- all pocket +
+    glb_c; reference global_normal + global_global edges, att_model.py:92-96).
+    glbc_src_mask / glbp_src_mask: [B, Dc], [B, Dp] validity.
+    """
+
+    nbr_idx: Array
+    nbr_mask: Array
+    glbc_src: Array
+    glbc_src_mask: Array
+    glbp_src: Array
+    glbp_src_mask: Array
+
+
+class InterGraph(NamedTuple):
+    """Dense bipartite inter-edge structure.
+
+    adj: [B, Nc, Np] bool — ligand atom i ↔ pocket residue j within
+    inter_cutoff (normalized coords), both valid (att_model.py:82-84).
+    Both edge directions share this adjacency.
+    """
+
+    adj: Array
+
+
+def _pairwise_sq_dist(a: Array, b: Array) -> Array:
+    """[B, M, 3] x [B, N, 3] -> [B, M, N] squared distances."""
+    diff = a[:, :, None, :] - b[:, None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def build_ctx_graph(
+    x: Array,
+    layout: ComplexLayout,
+    lig_mask: Array,
+    pkt_mask: Array,
+    bond_idx: Array,
+    bond_mask: Array,
+    intra_cutoff: float,
+    k_radius: int,
+) -> CtxGraph:
+    """Build the ctx neighbor table from current (normalized) coords.
+
+    Semantics (att_model.py:69-96 + caller att_model.py:220):
+    - pocket destination i: pocket j ≠ i with |x_i - x_j| ≤ intra_cutoff
+      (top-k_radius nearest if degree exceeds K), plus glb_p.
+    - ligand destination i: bonded neighbors (host-provided, both directions),
+      plus glb_c.
+    - glb_c destination: all ligand atoms + glb_p (global_normal+global_global).
+    - glb_p destination: all pocket residues + glb_c.
+
+    Args:
+      x: [B, N, 3] current normalized coords.
+      bond_idx: [B, Nc, Kb] ligand bond neighbors as *ligand-local* indices.
+      bond_mask: [B, Nc, Kb].
+    """
+    B = x.shape[0]
+    Nc, Np, N = layout.n_lig, layout.n_pkt, layout.n_nodes
+    Kb = bond_idx.shape[-1]
+    K = 1 + max(k_radius, Kb)
+
+    pkt_x = x[:, layout.pkt_slice]
+    d2 = _pairwise_sq_dist(pkt_x, pkt_x)  # [B, Np, Np]
+    eye = jnp.eye(Np, dtype=bool)
+    valid = pkt_mask[:, :, None] & pkt_mask[:, None, :] & ~eye
+    within = valid & (d2 <= intra_cutoff * intra_cutoff)
+    # top-k nearest among valid-within candidates
+    score = jnp.where(within, -d2, -BIG)
+    top_score, top_j = jax.lax.top_k(score, k_radius)       # [B, Np, k]
+    top_valid = top_score > -BIG / 2
+    pkt_nbr = jnp.where(top_valid, top_j + (Nc + 2), 0)
+
+    # assemble [B, N, K]
+    nbr_idx = jnp.zeros((B, N, K), jnp.int32)
+    nbr_mask = jnp.zeros((B, N, K), bool)
+
+    # ligand rows: slot 0 = glb_c, slots 1..Kb = bonds (ligand-local -> complex)
+    lig_rows_idx = jnp.concatenate(
+        [
+            jnp.zeros((B, Nc, 1), jnp.int32),           # glb_c slot index 0
+            (bond_idx + 1).astype(jnp.int32),
+        ],
+        axis=-1,
+    )
+    lig_rows_mask = jnp.concatenate(
+        [lig_mask[:, :, None], bond_mask & lig_mask[:, :, None]], axis=-1
+    )
+    pad = K - (1 + Kb)
+    if pad:
+        lig_rows_idx = jnp.pad(lig_rows_idx, ((0, 0), (0, 0), (0, pad)))
+        lig_rows_mask = jnp.pad(lig_rows_mask, ((0, 0), (0, 0), (0, pad)))
+    nbr_idx = nbr_idx.at[:, layout.lig_slice].set(lig_rows_idx)
+    nbr_mask = nbr_mask.at[:, layout.lig_slice].set(lig_rows_mask)
+
+    # pocket rows: slot 0 = glb_p, slots 1..k = radius neighbors
+    pkt_rows_idx = jnp.concatenate(
+        [jnp.full((B, Np, 1), Nc + 1, jnp.int32), pkt_nbr.astype(jnp.int32)],
+        axis=-1,
+    )
+    pkt_rows_mask = jnp.concatenate(
+        [pkt_mask[:, :, None], top_valid & pkt_mask[:, :, None]], axis=-1
+    )
+    pad = K - (1 + k_radius)
+    if pad:
+        pkt_rows_idx = jnp.pad(pkt_rows_idx, ((0, 0), (0, 0), (0, pad)))
+        pkt_rows_mask = jnp.pad(pkt_rows_mask, ((0, 0), (0, 0), (0, pad)))
+    nbr_idx = nbr_idx.at[:, layout.pkt_slice].set(pkt_rows_idx)
+    nbr_mask = nbr_mask.at[:, layout.pkt_slice].set(pkt_rows_mask)
+
+    # global destinations (dense)
+    glbc_src = jnp.concatenate(
+        [jnp.arange(1, Nc + 1), jnp.array([Nc + 1])]
+    ).astype(jnp.int32)                                   # [Nc+1]
+    glbc_src_mask = jnp.concatenate(
+        [lig_mask, jnp.ones((B, 1), bool)], axis=1
+    )
+    glbp_src = jnp.concatenate(
+        [jnp.arange(Nc + 2, N), jnp.array([0])]
+    ).astype(jnp.int32)                                   # [Np+1]
+    glbp_src_mask = jnp.concatenate(
+        [pkt_mask, jnp.ones((B, 1), bool)], axis=1
+    )
+
+    return CtxGraph(nbr_idx, nbr_mask, glbc_src, glbc_src_mask,
+                    glbp_src, glbp_src_mask)
+
+
+def build_inter_graph(
+    x: Array,
+    layout: ComplexLayout,
+    lig_mask: Array,
+    pkt_mask: Array,
+    inter_cutoff: float,
+) -> InterGraph:
+    """Dense bipartite inter adjacency from current normalized coords
+    (att_model.py:82-84). Empty rows simply yield zero aggregation (the
+    reference's single-fallback-edge for a fully empty batch,
+    att_model.py:85-86, is a degenerate case that cannot affect the output
+    pose; documented deviation)."""
+    lig_x = x[:, layout.lig_slice]
+    pkt_x = x[:, layout.pkt_slice]
+    d2 = _pairwise_sq_dist(lig_x, pkt_x)
+    adj = (
+        (d2 <= inter_cutoff * inter_cutoff)
+        & lig_mask[:, :, None]
+        & pkt_mask[:, None, :]
+    )
+    return InterGraph(adj)
+
+
+def gather_nodes(v: Array, idx: Array) -> Array:
+    """Gather per-node values by a [B, ...idx] index table.
+
+    v: [B, N, ...feat]; idx: [B, *I] -> [B, *I, ...feat].
+    """
+    return jax.vmap(lambda vb, ib: vb[ib])(v, idx)
+
+
+def compact_keep_mask(keep: Array, n_slots: int):
+    """Pack kept items (in order) into n_slots; replaces the reference's
+    boolean-index re-batching (model.py:195-288).
+
+    Args:
+      keep: [B, Nr] bool.
+    Returns:
+      idx: [B, n_slots] int32 source indices (0 where unused),
+      mask: [B, n_slots] bool,
+      overflow: [B] int32 number of kept items dropped (>n_slots).
+    """
+    B, Nr = keep.shape
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1   # position if kept
+    pos = jnp.where(keep, pos, n_slots)                    # dropped -> overflow slot
+    pos = jnp.minimum(pos, n_slots)                        # saturate
+    src = jnp.broadcast_to(jnp.arange(Nr, dtype=jnp.int32), (B, Nr))
+    idx = jnp.zeros((B, n_slots + 1), jnp.int32)
+    idx = jax.vmap(lambda i, p, s: i.at[p].set(s))(idx, pos, src)[:, :n_slots]
+    count = jnp.sum(keep, axis=1)
+    mask = jnp.arange(n_slots)[None, :] < jnp.minimum(count, n_slots)[:, None]
+    overflow = jnp.maximum(count - n_slots, 0)
+    return idx, mask, overflow

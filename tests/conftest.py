@@ -1,0 +1,14 @@
+import os
+
+# 8 virtual CPU devices for sharding tests; force CPU so tests never touch the
+# real TPU chip (mirrors the multi-device CPU testing strategy in SURVEY.md §4).
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's axon plugin overrides JAX_PLATFORMS; force CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
