@@ -1,0 +1,60 @@
+"""Docking-inference throughput benchmark (complexes/sec/chip).
+
+Runs the full FABind base inference path (whole-protein pocket prediction ->
+predicted crop -> 8-recycle docking) on PDBbind-representative padded shapes,
+on whatever accelerator jax exposes (one TPU chip under the driver).
+
+Baseline: the FABind paper reports ~0.1 s/complex on an A100-class GPU
+(BASELINE.md (b)); vs_baseline = complexes_per_sec / 10.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.types import dummy_batch
+    from fabind_tpu.models.fabind import make_model
+
+    batch_size = int(__import__("os").environ.get("FABIND_BENCH_BATCH", "8"))
+    cfg = preset("fabind", max_ligand=96, max_pocket=160, max_protein=512,
+                 n_iter=8)
+    batch = dummy_batch(cfg.shapes, batch_size=batch_size, n_lig_valid=48,
+                        n_prot_valid=400)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k}, batch, train=False,
+        stage=2))()
+
+    @jax.jit
+    def infer(params, batch):
+        coords, _ = model.apply(params, batch, method="inference")
+        return coords
+
+    # warmup / compile
+    infer(variables, batch).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    cps = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "complexes/sec/chip (fabind base inference, b%d)" % batch_size,
+        "value": round(cps, 2),
+        "unit": "complexes/s",
+        "vs_baseline": round(cps / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""FABind+ sampling inference: N stochastic poses per complex, best by
+confidence.
+
+Counterpart of FABind_plus/fabind/inference_sampling_fabind.py /
+test_sampling_fabind.py: dropout stays ON at inference
+(inference_sampling_fabind.py:148-154), pocket centers are optionally
+resampled by host-side DBSCAN clustering of positive residues
+(model.py:482-502), and the pose with the highest confidence wins
+(:204-210).
+
+TPU design: the two jitted halves are split around the host DBSCAN callback —
+pocket prediction once per complex, then sample_size stochastic docking
+passes (batched over complexes); no recompilation between samples.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+import numpy as np
+
+
+def dbscan_cluster_centers(cls_probs: np.ndarray, coords: np.ndarray,
+                           mask: np.ndarray, eps: float, min_samples: int,
+                           choose_prob: float, default_centers: np.ndarray,
+                           rng: np.random.RandomState) -> np.ndarray:
+    """Host-side DBSCAN pocket-center sampling (FABind_plus model.py:147-167):
+    cluster positive residues (top-50 fallback), pick a random cluster with
+    prob choose_prob, else keep the default center."""
+    from sklearn.cluster import DBSCAN
+    B = cls_probs.shape[0]
+    centers = default_centers.copy()
+    for b in range(B):
+        p = cls_probs[b]
+        valid = mask[b]
+        pos = (p > 0.5) & valid
+        if pos.sum() < 50:
+            order = np.argsort(np.where(valid, p, -np.inf))[-50:]
+            pos = np.zeros_like(pos)
+            pos[order] = True
+            pos &= valid
+        pts = coords[b][pos]
+        if len(pts) == 0:
+            continue
+        labels = DBSCAN(eps=eps, min_samples=min_samples).fit(pts).labels_
+        if labels.max() < 0:
+            continue
+        cid = rng.randint(0, labels.max() + 1)
+        if rng.rand() < choose_prob:
+            centers[b] = pts[labels == cid].mean(axis=0)
+    return centers
+
+
+def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
+                 use_clustering: Optional[bool] = None):
+    """Run sample_size stochastic inference passes; returns
+    (coords [S, B, Nc, 3], scores [S, B])."""
+    import jax
+    import jax.numpy as jnp
+    from fabind_tpu.ops.gumbel import pocket_center_rounded
+
+    m = cfg.model
+    use_clustering = (m.use_clustering if use_clustering is None
+                      else use_clustering)
+
+    @jax.jit
+    def pocket_half(params, batch):
+        return model.apply({"params": params}, batch,
+                           method="_pocket_pred", deterministic=True)
+
+    @jax.jit
+    def dock_half(params, batch, center, key):
+        def run(mdl, batch, center):
+            return mdl.inference(batch, center_override=center,
+                                 deterministic=False)
+        return model.apply({"params": params}, batch, center,
+                           method=run, rngs={"dropout": key, "sample": key})
+
+    compound_out, protein_out, cls_logits, radius_pred = pocket_half(
+        params, batch)
+    default_center = np.asarray(pocket_center_rounded(
+        cls_logits, batch.prot_xyz, batch.prot_mask, m.gs_tau, m.gs_hard))
+    cls_probs = 1.0 / (1.0 + np.exp(-np.asarray(cls_logits)))
+
+    import jax
+    rng = np.random.RandomState(seed)
+    all_coords, all_scores = [], []
+    for s in range(sample_size):
+        center = default_center
+        if use_clustering:
+            center = dbscan_cluster_centers(
+                cls_probs, np.asarray(batch.prot_xyz),
+                np.asarray(batch.prot_mask), m.dbscan_eps,
+                m.dbscan_min_samples, m.choose_cluster_prob,
+                default_center, rng)
+        key = jax.random.PRNGKey(seed * 100003 + s)
+        coords, conf = dock_half(params, batch, jnp.asarray(center), key)
+        all_coords.append(np.asarray(coords))
+        all_scores.append(np.asarray(conf))
+    return np.stack(all_coords), np.stack(all_scores)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="fabind_plus_sampling")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--sample-size", type=int, default=40)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader, PDBBindLMDBSource
+    from fabind_tpu.data.types import dummy_batch
+    from fabind_tpu.models.fabind import make_model
+    from fabind_tpu.train.convert import convert_checkpoint
+    from fabind_tpu.utils.metrics import ligand_rmsd, summarize_rmsd
+
+    cfg = preset(args.preset)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    tmpl = dummy_batch(cfg.shapes, batch_size=1)
+    variables = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k}, tmpl, train=False,
+        stage=2))()
+    params, report = convert_checkpoint(args.ckpt, variables["params"])
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    source = PDBBindLMDBSource(args.data)
+    splits = source.splits("fabind_plus")
+    loader = Loader(source, splits[args.split], cfg, group=args.split,
+                    batch_size=args.batch_size)
+
+    best_rmsds = []
+    for batch in loader.epoch(0):
+        coords, scores = sample_poses(model, params, batch, cfg,
+                                      args.sample_size, seed=args.seed)
+        best = np.argmax(scores, axis=0)
+        sel = np.take_along_axis(coords, best[None, :, None, None], 0)[0]
+        best_rmsds.append(ligand_rmsd(sel, np.asarray(batch.lig_coords),
+                                      np.asarray(batch.lig_mask)))
+    metrics = summarize_rmsd(np.concatenate(best_rmsds))
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        json.dump(metrics, open(args.out, "w"), indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Training driver.
+
+TPU-native counterpart of `accelerate launch fabind/main_fabind.py`
+(FABind/fabind/main_fabind.py:34-599): typed preset config instead of 90
+argparse flags, jitted dp-sharded train step instead of DDP, orbax instead of
+accelerate save_state.
+
+Usage:
+  python -m fabind_tpu.cli.train --preset fabind --data /path/to/pdbbind \
+      --output runs/exp1 [--epochs N] [--batch-size B]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="fabind",
+                   choices=["fabind", "fabind_plus"])
+    p.add_argument("--data", required=True,
+                   help="reference preprocessed PDBbind root (LMDB) or NPZ dir")
+    p.add_argument("--output", default="runs/default")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--dp", type=int, default=0, help="dp mesh size (0=all)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override, e.g. --set max_ligand=32 "
+                        "--set n_iter=4 (any ModelConfig/ShapeConfig/"
+                        "TrainConfig field)")
+    args = p.parse_args(argv)
+
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource
+    from fabind_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from fabind_tpu.train import checkpoints
+    from fabind_tpu.train.trainer import (create_train_state,
+                                          make_eval_step,
+                                          make_sharded_train_step)
+    from fabind_tpu.utils.logging_utils import Logger
+    from fabind_tpu.utils.metrics import MetricAccumulator
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                v = {"true": True, "false": False}.get(v.lower(), v)
+        overrides[k] = v
+    if args.epochs:
+        overrides["total_epochs"] = args.epochs
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.bf16:
+        overrides["bf16"] = True
+    cfg = preset(args.preset, **overrides)
+
+    logger = Logger(args.output)
+    logger.log_message(f"devices: {jax.devices()}")
+
+    try:
+        source = PDBBindLMDBSource(args.data,
+                                   use_esm2_feat=cfg.model.use_esm2_feat)
+        splits = source.splits(args.preset)
+    except Exception:
+        source = NPZSource(args.data)
+        n = len(source.names)
+        splits = {"train": source.names[: int(0.9 * n)],
+                  "valid": source.names[int(0.9 * n):], "test": []}
+    logger.log_message(
+        f"splits: {({k: len(v) for k, v in splits.items()})}")
+
+    train_loader = Loader(source, splits["train"], cfg, group="train",
+                          seed=cfg.train.seed)
+    valid_loader = Loader(source, splits.get("valid", []), cfg, group="valid")
+
+    first = next(train_loader.epoch(0))
+    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
+                                      first)
+    if args.resume:
+        restored = checkpoints.restore_state(args.output + "/ckpt", state)
+        if restored is not None:
+            state = restored
+            logger.log_message(f"resumed at step {int(state.step)}")
+
+    mesh = make_mesh(args.dp or None)
+    state = replicate(state, mesh)
+    train_step = make_sharded_train_step(model, cfg, mesh)
+    eval_step = make_eval_step(model, cfg, stage=2)
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(state.params))
+    logger.log_message(f"model params: {n_params/1e6:.2f}M")
+
+    step = int(state.step)
+    for epoch in range(cfg.train.total_epochs):
+        t0 = time.time()
+        for batch in train_loader.epoch(epoch):
+            batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch)
+            step += 1
+            if step % 50 == 0:
+                logger.log_metrics(metrics, step)
+        logger.log_message(
+            f"epoch {epoch} done in {time.time()-t0:.1f}s; "
+            f"dropped {train_loader.n_dropped} oversize samples")
+        checkpoints.save_state(args.output + "/ckpt", jax.device_get(state))
+
+        if (epoch + 1) % args.eval_every == 0 and len(valid_loader.indices):
+            acc = MetricAccumulator()
+            for batch in valid_loader.epoch(0):
+                out = eval_step(state.params, batch)
+                acc.update(jax.device_get(out), batch)
+            logger.log_metrics(acc.summarize(), step, phase="valid")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Dataset readers + loader.
+
+Two sources:
+- `PDBBindLMDBSource`: reads the reference's preprocessed PDBbind-2020 stores
+  (FABind/fabind/data.py:42-96: pandas index data.pt, protein_1d_3d.lmdb,
+  compound_LAS_edge_index.lmdb, compound_rdkit_coords.pt,
+  esm2_t33_650M_UR50D.lmdb) so users of the reference can point this
+  framework at the same directory. Requires lmdb + torch (host-side only).
+- `NPZSource`: a portable self-describing per-complex .npz directory produced
+  by fabind_tpu.cli.preprocess.
+
+`Loader` applies the reference's split filters (c_length<100 &
+native_num_contact>5 for train, data.py:110-119; FABind+ variants
+expand_clength_set/cut_train_set, FABind_plus/fabind/data.py:128-138),
+builds samples host-side and collates fixed-shape batches.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from fabind_tpu.config import FABindConfig
+from fabind_tpu.data.batching import SampleTooLarge, build_sample, collate
+from fabind_tpu.data.featurize import las_mask_from_adj_rings
+
+
+class NPZSource:
+    """Directory of {name}.npz with keys: protein_xyz, esm_feat, lig_coords,
+    lig_feats, bond_edges, las_mask, rdkit_coords [, isomorphisms]."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.names = sorted(
+            f[:-4] for f in os.listdir(root) if f.endswith(".npz"))
+
+    def __len__(self):
+        return len(self.names)
+
+    def get(self, name: str) -> Dict[str, np.ndarray]:
+        with np.load(os.path.join(self.root, name + ".npz"),
+                     allow_pickle=True) as z:
+            return {k: z[k] for k in z.files}
+
+
+class PDBBindLMDBSource:
+    """Reader for the reference's preprocessed dataset directory
+    (`{root}/dataset/processed`)."""
+
+    def __init__(self, root: str, use_esm2_feat: bool = True):
+        import lmdb
+        import torch
+        p = os.path.join(root, "dataset", "processed")
+        self.index = torch.load(os.path.join(p, "data.pt"),
+                                weights_only=False)
+        self.rdkit_coords = torch.load(
+            os.path.join(p, "compound_rdkit_coords.pt"), weights_only=False)
+        self.protein_db = lmdb.open(
+            os.path.join(p, "protein_1d_3d.lmdb"), readonly=True,
+            max_readers=1, lock=False, readahead=False, meminit=False)
+        self.compound_db = lmdb.open(
+            os.path.join(p, "compound_LAS_edge_index.lmdb"), readonly=True,
+            max_readers=1, lock=False, readahead=False, meminit=False)
+        self.esm_db = None
+        if use_esm2_feat:
+            self.esm_db = lmdb.open(
+                os.path.join(p, "esm2_t33_650M_UR50D.lmdb"), readonly=True,
+                max_readers=1, lock=False, readahead=False, meminit=False)
+
+    def splits(self, variant: str = "fabind") -> Dict[str, List[int]]:
+        """Reference split filters (data.py:110-119; FABind+ data.py:128-138)."""
+        d = self.index
+        if variant == "fabind":
+            train = d.query("c_length < 100 and native_num_contact > 5 and "
+                            "group == 'train' and use_compound_com")
+        else:
+            train = d.query("c_length < 150 and native_num_contact > 5 and "
+                            "group == 'train' and use_compound_com")
+        out = {"train": list(train.index.values)}
+        for g in ("valid", "test"):
+            out[g] = list(d.query(
+                f"group == '{g}' and use_compound_com").index.values)
+        return out
+
+    def get(self, idx: int) -> Dict[str, np.ndarray]:
+        line = self.index.iloc[idx]
+        pname = line["protein_name"]
+        cname = line["compound_name"]
+        with self.protein_db.begin() as txn:
+            protein_xyz, protein_seq = pickle.loads(txn.get(pname.encode()))
+        esm_feat = None
+        if self.esm_db is not None:
+            with self.esm_db.begin() as txn:
+                esm_feat = pickle.loads(txn.get(pname.encode()))
+        with self.compound_db.begin() as txn:
+            rec = pickle.loads(txn.get(cname.encode()))
+        # (coords, node_feats, edge_list, edge_attr, pair_dis_dist, LAS_edge_index)
+        coords, feats, edge_list, _, _, las_edge_index = rec
+        rdkit_coords = self.rdkit_coords[cname]
+
+        def npy(x):
+            return np.asarray(x.numpy() if hasattr(x, "numpy") else x)
+
+        n = npy(feats).shape[0]
+        las = np.zeros((n, n), bool)
+        las_e = npy(las_edge_index)
+        las[las_e[0], las_e[1]] = True
+        return {
+            "protein_xyz": npy(protein_xyz).astype(np.float32),
+            "esm_feat": npy(esm_feat).astype(np.float32),
+            "lig_coords": npy(coords).astype(np.float32),
+            "lig_feats": npy(feats).astype(np.float32),
+            "bond_edges": npy(edge_list)[:, :2].astype(np.int64),
+            "las_mask": las,
+            "rdkit_coords": npy(rdkit_coords).astype(np.float32),
+            "pdb": line.get("pdb", cname),
+            "group": line.get("group", "train"),
+        }
+
+
+class Loader:
+    """Host-side batching loop with size filtering + deterministic shuffling."""
+
+    def __init__(self, source, indices: Sequence, cfg: FABindConfig,
+                 group: str = "train", batch_size: Optional[int] = None,
+                 seed: int = 0, drop_oversize: bool = True):
+        self.source = source
+        self.indices = list(indices)
+        self.cfg = cfg
+        self.group = group
+        self.batch_size = batch_size or cfg.train.batch_size
+        self.seed = seed
+        self.drop_oversize = drop_oversize
+        self.n_dropped = 0
+
+    def __len__(self):
+        return (len(self.indices) + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator:
+        rng = np.random.RandomState(self.seed + epoch)
+        order = list(self.indices)
+        if self.group == "train":
+            rng.shuffle(order)
+        s_cfg = self.cfg.shapes
+        buf = []
+        for idx in order:
+            raw = self.source.get(idx)
+            s = build_sample(raw, self.cfg, group=self.group, rng=rng,
+                             isomorphisms=raw.get("isomorphisms"))
+            if (s["lig_feat"].shape[0] > s_cfg.max_ligand
+                    or s["prot_xyz"].shape[0] > s_cfg.max_protein
+                    or s["bond_deg"] > s_cfg.bond_k):
+                self.n_dropped += 1
+                continue
+            buf.append(s)
+            if len(buf) == self.batch_size:
+                yield collate(buf, self.cfg)
+                buf = []
+        if buf:
+            # pad the trailing batch to full size by repeating the last sample
+            # (masked metrics must use the true count)
+            n_real = len(buf)
+            while len(buf) < self.batch_size:
+                buf.append(buf[-1])
+            batch = collate(buf, self.cfg)
+            yield batch

@@ -1,0 +1,257 @@
+"""Host-side chem/bio featurization.
+
+Re-implements the reference's L0 featurization without torchdrug / gvp /
+torch_geometric:
+
+- the torchdrug `property_prediction` 56-d atom featurizer used via
+  `td.Molecule.from_smiles(..., node_feature='property_prediction')`
+  (FABind/fabind/utils/feature_utils.py:160-181, inference_mol_utils.py:71-90)
+  is re-derived in pure RDKit/numpy — the feature is
+  onehot(symbol, 17-vocab+unk) ++ onehot(degree, 0..6+unk) ++
+  onehot(total_num_hs, 0..6+unk) ++ onehot(total_valence, 0..7+unk) ++
+  onehot(formal_charge, -5..5+unk) ++ [is_aromatic]  == 56 dims;
+- the LAS constraint mask (bonds ∪ 2-hop ∪ shared-SSSR-ring,
+  feature_utils.py:97-128);
+- protein cleaning/extraction (inference_pdb_utils.py:15-60);
+- ESM2-t33-650M per-residue embeddings via HF transformers
+  (inference_pdb_utils.py:63-89 uses fair-esm; layer-33 representations,
+  BOS/EOS stripped).
+
+RDKit / BioPython / transformers are imported lazily; everything pure is
+importable without them.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# torchdrug vocabularies (torchdrug/data/feature.py), fixed by the released
+# checkpoints' input layout — do not reorder.
+ATOM_VOCAB = ["H", "B", "C", "N", "O", "F", "Mg", "Si", "P", "S", "Cl",
+              "Cu", "Zn", "Se", "Br", "Sn", "I"]
+DEGREE_VOCAB = list(range(7))
+NUM_HS_VOCAB = list(range(7))
+TOTAL_VALENCE_VOCAB = list(range(8))
+FORMAL_CHARGE_VOCAB = list(range(-5, 6))
+
+COMPOUND_FEATURE_DIM = (len(ATOM_VOCAB) + 1 + len(DEGREE_VOCAB) + 1 +
+                        len(NUM_HS_VOCAB) + 1 + len(TOTAL_VALENCE_VOCAB) + 1 +
+                        len(FORMAL_CHARGE_VOCAB) + 1 + 1)
+assert COMPOUND_FEATURE_DIM == 56
+
+THREE_TO_ONE = {
+    'ALA': 'A', 'CYS': 'C', 'ASP': 'D', 'GLU': 'E', 'PHE': 'F', 'GLY': 'G',
+    'HIS': 'H', 'ILE': 'I', 'LYS': 'K', 'LEU': 'L', 'MET': 'M', 'ASN': 'N',
+    'PRO': 'P', 'GLN': 'Q', 'ARG': 'R', 'SER': 'S', 'THR': 'T', 'VAL': 'V',
+    'TRP': 'W', 'TYR': 'Y'}
+
+
+def onehot(value, vocab: Sequence, allow_unknown: bool = True) -> List[float]:
+    """torchdrug-style one-hot with trailing unknown slot."""
+    feat = [0.0] * (len(vocab) + int(allow_unknown))
+    try:
+        idx = list(vocab).index(value)
+    except ValueError:
+        idx = -1
+    if idx == -1 and not allow_unknown:
+        raise ValueError(f"unknown value {value!r} for vocab {vocab!r}")
+    feat[idx] = 1.0
+    return feat
+
+
+def atom_property_prediction_feature(symbol: str, degree: int,
+                                     total_num_hs: int, total_valence: int,
+                                     formal_charge: int,
+                                     is_aromatic: bool) -> np.ndarray:
+    """Pure 56-d feature from atom attributes (testable without RDKit)."""
+    return np.asarray(
+        onehot(symbol, ATOM_VOCAB) + onehot(degree, DEGREE_VOCAB) +
+        onehot(total_num_hs, NUM_HS_VOCAB) +
+        onehot(total_valence, TOTAL_VALENCE_VOCAB) +
+        onehot(formal_charge, FORMAL_CHARGE_VOCAB) + [float(is_aromatic)],
+        dtype=np.float32)
+
+
+def n_hops_adj(adj: np.ndarray, n_hops: int) -> np.ndarray:
+    """Hop-distance matrix up to n_hops (feature_utils.py:97-107)."""
+    n = adj.shape[0]
+    eye = np.eye(n, dtype=np.int64)
+    mats = [eye, ((adj + eye) > 0).astype(np.int64)]
+    for i in range(2, n_hops + 1):
+        mats.append(((mats[i - 1] @ mats[1]) > 0).astype(np.int64))
+    extend = np.zeros_like(adj, dtype=np.int64)
+    for i in range(1, n_hops + 1):
+        extend += (mats[i] - mats[i - 1]) * i
+    return extend
+
+
+def las_mask_from_adj_rings(adj: np.ndarray,
+                            rings: Sequence[Sequence[int]]) -> np.ndarray:
+    """LAS mask = bonds ∪ 2-hop ∪ shared-ring pairs, no self loops
+    (feature_utils.py:111-128)."""
+    extend = n_hops_adj(adj.astype(np.int64), 2)
+    for ring in rings:
+        for i in ring:
+            for j in ring:
+                if i != j:
+                    extend[i][j] += 1
+    return (extend > 0)
+
+
+# --------------------------------------------------------------------- RDKit
+
+def _require_rdkit():
+    try:
+        from rdkit import Chem  # noqa: F401
+        return True
+    except ImportError as e:
+        raise ImportError(
+            "RDKit is required for molecule featurization; install rdkit or "
+            "use precomputed feature stores") from e
+
+
+def featurize_mol(mol) -> Dict[str, np.ndarray]:
+    """56-d atom features + bond edge list + LAS mask for an RDKit mol whose
+    atom order matches its canonical-SMILES output order (the reference's
+    renumbering convention, inference_mol_utils.py:122-133).
+
+    Features are computed on the canonical-SMILES-parsed molecule, exactly as
+    torchdrug's from_smiles does (feature_utils.py:167).
+    """
+    _require_rdkit()
+    from rdkit import Chem
+
+    smiles = Chem.MolToSmiles(mol)
+    smol = Chem.MolFromSmiles(smiles)
+    if smol is None:
+        raise ValueError(f"unparseable canonical smiles {smiles!r}")
+    n = smol.GetNumAtoms()
+    feats = np.zeros((n, COMPOUND_FEATURE_DIM), np.float32)
+    for i, atom in enumerate(smol.GetAtoms()):
+        feats[i] = atom_property_prediction_feature(
+            atom.GetSymbol(), atom.GetDegree(), atom.GetTotalNumHs(),
+            atom.GetTotalValence(), atom.GetFormalCharge(),
+            atom.GetIsAromatic())
+
+    bonds = []
+    for b in smol.GetBonds():
+        i, j = b.GetBeginAtomIdx(), b.GetEndAtomIdx()
+        bonds.append((i, j))
+        bonds.append((j, i))
+    bond_edges = np.asarray(sorted(bonds), np.int64).reshape(-1, 2)
+
+    # LAS mask on the *original* conformer mol (feature_utils.py:113)
+    adj = np.asarray(Chem.GetAdjacencyMatrix(mol))
+    rings = [list(r) for r in Chem.GetSymmSSSR(mol)]
+    las = las_mask_from_adj_rings(adj, rings)
+
+    coords = np.asarray(mol.GetConformer().GetPositions(), np.float32)
+    assert coords.shape[0] == n, (
+        "atom order mismatch between conformer mol and canonical smiles; "
+        "renumber the mol first (see read_smiles/renumber convention)")
+    return {"coords": coords, "feats": feats, "bond_edges": bond_edges,
+            "las_mask": las.astype(bool), "smiles": smiles}
+
+
+def read_smiles(smiles: str):
+    """Canonicalize and renumber so atom order == canonical-SMILES order
+    (inference_mol_utils.py:122-133)."""
+    _require_rdkit()
+    from rdkit import Chem
+    mol = Chem.MolFromSmiles(smiles)
+    if mol is None:
+        raise ValueError(f"bad smiles {smiles!r}")
+    Chem.MolToSmiles(mol)  # populates _smilesAtomOutputOrder
+    order = list(mol.GetPropsAsDict(
+        includePrivate=True, includeComputed=True)["_smilesAtomOutputOrder"])
+    return Chem.RenumberAtoms(mol, order)
+
+
+def generate_conformation(mol, seed: Optional[int] = None):
+    """ETKDGv2 + MMFF conformer (inference_mol_utils.py:135-144)."""
+    _require_rdkit()
+    from rdkit import Chem
+    from rdkit.Chem import AllChem
+    mol = Chem.AddHs(mol)
+    ps = AllChem.ETKDGv2()
+    if seed is not None:
+        ps.randomSeed = seed
+    rid = AllChem.EmbedMolecule(mol, ps)
+    if rid == -1:
+        ps.useRandomCoords = True
+        rid = AllChem.EmbedMolecule(mol, ps)
+        if rid == -1:
+            AllChem.Compute2DCoords(mol)
+        else:
+            AllChem.MMFFOptimizeMolecule(mol, confId=0)
+    else:
+        AllChem.MMFFOptimizeMolecule(mol, confId=0)
+    return Chem.RemoveHs(mol)
+
+
+def mol_from_sdf(sdf_path: str, mol2_path: Optional[str] = None):
+    """read_mol with mol2 fallback (utils/utils.py:20-48)."""
+    _require_rdkit()
+    from rdkit import Chem
+    mol = Chem.MolFromMolFile(sdf_path, sanitize=False)
+    try:
+        Chem.SanitizeMol(mol)
+        return Chem.RemoveHs(mol)
+    except Exception:
+        if mol2_path is None:
+            raise
+    mol = Chem.MolFromMol2File(mol2_path, sanitize=False)
+    Chem.SanitizeMol(mol)
+    return Chem.RemoveHs(mol)
+
+
+# ----------------------------------------------------------------- BioPython
+
+def extract_protein_structure(pdb_path: str) -> Dict:
+    """Clean residues (standard AA with N/CA/C/O) -> seq + 4-atom coords
+    (inference_pdb_utils.py:15-60)."""
+    try:
+        from Bio.PDB import PDBParser
+    except ImportError as e:
+        raise ImportError("BioPython required for PDB parsing") from e
+    parser = PDBParser(QUIET=True)
+    s = parser.get_structure("x", pdb_path)
+    res_list = []
+    for res in s.get_residues():
+        hetero, _, _ = res.full_id[-1]
+        if hetero != " " or res.resname not in THREE_TO_ONE:
+            continue
+        if all(a in res for a in ("N", "CA", "C", "O")):
+            res_list.append(res)
+    seq = "".join(THREE_TO_ONE[r.resname] for r in res_list)
+    coords = np.asarray(
+        [[list(r[a].coord) for a in ("N", "CA", "C", "O")] for r in res_list],
+        np.float32)
+    return {"seq": seq, "coords": coords}
+
+
+_ESM_CACHE = {}
+
+
+def extract_esm_feature(seq: str, model_name: str =
+                        "facebook/esm2_t33_650M_UR50D",
+                        device: str = "cpu") -> np.ndarray:
+    """Layer-33 ESM2-650M residue embeddings, BOS/EOS stripped
+    (inference_pdb_utils.py:63-89; tools/generate_esm2_t33.py:20-53)."""
+    try:
+        import torch
+        from transformers import AutoTokenizer, EsmModel
+    except ImportError as e:
+        raise ImportError("transformers required for ESM2 features") from e
+    if model_name not in _ESM_CACHE:
+        tok = AutoTokenizer.from_pretrained(model_name)
+        model = EsmModel.from_pretrained(model_name).to(device).eval()
+        _ESM_CACHE[model_name] = (tok, model)
+    tok, model = _ESM_CACHE[model_name]
+    import torch
+    with torch.no_grad():
+        toks = tok(seq, return_tensors="pt").to(device)
+        out = model(**toks).last_hidden_state[0, 1:-1]
+    assert out.shape[0] == len(seq)
+    return out.cpu().numpy().astype(np.float32)

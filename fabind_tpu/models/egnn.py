@@ -63,10 +63,16 @@ def _norm_div(r_sq_sum: Array, cfg: ModelConfig) -> Array:
     empty edge sets."""
     if cfg.rm_F_norm or cfg.norm_type == "none":
         return jnp.ones_like(r_sq_sum)
+    def _sqrt_safe(s):
+        # grad-safe sqrt: sqrt'(0)=inf would poison backward even through
+        # the where() below (0 * inf = nan)
+        pos = s > 0
+        return jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
+
     if cfg.norm_type == "per_sample":
-        n = jnp.sqrt(r_sq_sum)
+        n = _sqrt_safe(r_sq_sum)
     elif cfg.norm_type == "all_sample":
-        n = jnp.sqrt(jnp.sum(r_sq_sum)) * jnp.ones_like(r_sq_sum)
+        n = _sqrt_safe(jnp.sum(r_sq_sum)) * jnp.ones_like(r_sq_sum)
     else:
         raise ValueError(cfg.norm_type)
     return jnp.where(n == 0, 1.0, n)

@@ -203,18 +203,24 @@ class FABind(nn.Module):
             cls_logits, batch.prot_xyz, batch.prot_mask, cfg.gs_tau,
             cfg.gs_hard, key=key if train else None)
 
-        # ---- stage gate (model.py:160-171) ----
-        if train:
+        # ---- stage gate ----
+        # base: probabilistic stage-2 when the predicted center is good
+        # (FABind model.py:160-171). plus: training is ALWAYS teacher-forced
+        # (`train or stage==1`, FABind_plus model.py:170).
+        if train and not cfg.is_plus:
             center_err = jnp.mean(jnp.linalg.norm(
-                batch.coords_center - pred_center, axis=-1))
+                jax.lax.stop_gradient(batch.coords_center - pred_center),
+                axis=-1))
             coin = jax.random.uniform(self.make_rng("sample"), ())
             use_stage2 = (center_err < cfg.center_dist_threshold) & \
                 (coin < cfg.stage_prob)
+        elif train:
+            use_stage2 = jnp.asarray(False)
         else:
             use_stage2 = jnp.asarray(stage == 2)
 
         # ---- assemble both pocket candidates, select ----
-        need2 = train or stage == 2
+        need2 = (train and not cfg.is_plus) or (not train and stage == 2)
         need1 = train or stage == 1
         keep_less_5 = jnp.zeros((B,), bool)
         overflow = jnp.zeros((B,), jnp.int32)

@@ -85,10 +85,18 @@ def masked_mean(v: Array, mask: Array, axis=None) -> Array:
     return safe_div(num, den)
 
 
+def safe_sqrt(d2: Array) -> Array:
+    """sqrt with zero (not inf/nan) gradient at 0 — padded pairs sit at
+    identical coords, and masked-out infs would still poison the backward
+    pass (0 * inf = nan)."""
+    pos = d2 > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
+
+
 def pairwise_dist(a: Array, b: Array) -> Array:
     """[..., M, 3] x [..., N, 3] -> [..., M, N] Euclidean distances."""
     d2 = jnp.sum((a[..., :, None, :] - b[..., None, :, :]) ** 2, axis=-1)
-    return jnp.sqrt(jnp.maximum(d2, 0.0))
+    return safe_sqrt(d2)
 
 
 def rmsd(pred: Array, true: Array, mask: Array) -> Array:

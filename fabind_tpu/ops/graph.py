@@ -160,6 +160,7 @@ def build_ctx_graph(
     B = x.shape[0]
     Nc, Np, N = layout.n_lig, layout.n_pkt, layout.n_nodes
     Kb = bond_idx.shape[-1]
+    k_radius = min(k_radius, Np - 1)  # top_k cannot exceed candidate count
     K = 1 + max(k_radius, Kb)
 
     pkt_x = x[:, layout.pkt_slice]

@@ -1,0 +1,111 @@
+"""FABind+ confidence-model training.
+
+Reproduces FABind_plus/fabind/train_confidence.py +
+utils/training_confidence.py:13-349: the regression checkpoint is frozen
+except the confidence head (`ranking_*` params, train_confidence.py:163-166);
+each complex is duplicated num_copies times (confidence_dataloader.py:27-39)
+and run through the *stochastic* forward (dropout active at inference —
+sampling mode); a pairwise ranking loss orders the copies by their symmetric
+RMSD.
+
+TPU design: instead of batch_size=1 with host-side copy duplication, copies
+live on a leading axis folded into the batch: [B, num_copies, ...] with the
+model vmapped over copies — every copy of every complex runs in one jit.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fabind_tpu.config import FABindConfig
+from fabind_tpu.train.losses import confidence_ranking_loss
+
+Array = jax.Array
+
+
+def confidence_param_labels(params: Any) -> Any:
+    """'train' for confidence head params, 'freeze' for the rest
+    (train_confidence.py:163-166: requires_grad only for ranking*/confidence*)."""
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return "train" if top.startswith(("ranking", "confidence")) else "freeze"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def build_confidence_optimizer(cfg: FABindConfig, params: Any):
+    tx = optax.multi_transform(
+        {"train": optax.adam(cfg.train.lr),
+         "freeze": optax.set_to_zero()},
+        confidence_param_labels(params))
+    return tx
+
+
+def make_confidence_train_step(model, cfg: FABindConfig, tx):
+    """One step over a batch of complexes, each with num_copies stochastic
+    forwards. batch arrays are the standard FABindBatch."""
+    n_copies = cfg.train.num_copies
+
+    def rmsd_per_copy(coords, gt, mask):
+        sd = jnp.sum((coords - gt) ** 2, -1)
+        m = mask.astype(sd.dtype)
+        return jnp.sqrt(jnp.sum(sd * m, -1) / jnp.maximum(jnp.sum(m, -1), 1.0))
+
+    def loss_fn(params, batch, key):
+        def one_copy(k):
+            dk, sk = jax.random.split(k)
+            # teacher-forced forward with dropout ON: copies differ through
+            # dropout noise only, exactly like the reference's deep-copied
+            # batch under model.train() (training_confidence.py:38)
+            out = model.apply(
+                {"params": params}, batch, train=True,
+                rngs={"dropout": dk, "sample": sk})
+            return out.coords, out.confidence
+        keys = jax.random.split(key, n_copies)
+        coords, scores = jax.lax.map(one_copy, keys)   # [C, B, ...]
+        rmsds = jax.vmap(
+            lambda c: rmsd_per_copy(c, batch.lig_coords, batch.lig_mask)
+        )(coords)                                       # [C, B]
+        # per-complex pairwise ranking loss over copies
+        def per_complex(s, r):
+            return confidence_ranking_loss(
+                s, jax.lax.stop_gradient(r),
+                loss_type=cfg.train.ranking_loss,
+                keep_cls_2a=cfg.train.keep_cls_2A)
+        losses = jax.vmap(per_complex, in_axes=(1, 1))(scores, rmsds)
+        loss = jnp.mean(losses)
+        # ranking metrics (training_confidence.py:143-149)
+        best_by_score = jnp.argmax(scores, axis=0)      # [B]
+        best_rmsd = jnp.min(rmsds, axis=0)
+        chosen_rmsd = jnp.take_along_axis(
+            rmsds, best_by_score[None], axis=0)[0]
+        metrics = {
+            "confidence_loss": loss,
+            "ranking_accuracy": jnp.mean(
+                (chosen_rmsd <= best_rmsd + 1e-6).astype(jnp.float32)),
+            "chosen_rmsd_lt2": jnp.mean((chosen_rmsd < 2).astype(jnp.float32)),
+            "best_rmsd_lt2": jnp.mean((best_rmsd < 2).astype(jnp.float32)),
+        }
+        return loss, metrics
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def pick_best_by_confidence(coords: Array, scores: Array
+                            ) -> Tuple[Array, Array]:
+    """Best-of-N selection (inference_sampling_fabind.py:204-210).
+
+    coords: [C, B, Nc, 3]; scores: [C, B] -> ([B, Nc, 3], [B])."""
+    best = jnp.argmax(scores, axis=0)
+    out = jnp.take_along_axis(coords, best[None, :, None, None], axis=0)[0]
+    return out, jnp.max(scores, axis=0)

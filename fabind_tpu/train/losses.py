@@ -1,0 +1,197 @@
+"""Loss stack for FABind training.
+
+Reproduces the reference losses (FABind/fabind/main_fabind.py:398-417;
+FABind_plus/fabind/utils/training.py:59-97) on masked dense tensors. All
+reductions are masked means over valid elements, matching the reference's
+flattened valid-only tensors with 'mean' reduction. The pocket-cls BCE
+reproduces the reference's padded-grid computation + numel/valid rescale
+(main_fabind.py:398) exactly when legacy_padded_bce is set: gradients are
+identical either way (padded logits are mask-multiplied), only the reported
+constant offset differs.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fabind_tpu.config import ModelConfig, TrainConfig
+
+Array = jax.Array
+
+
+def smooth_l1(pred: Array, target: Array, beta: float = 1.0) -> Array:
+    d = jnp.abs(pred - target)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def huber(pred: Array, target: Array, delta: float) -> Array:
+    d = jnp.abs(pred - target)
+    return jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta))
+
+
+def bce_with_logits(logits: Array, labels: Array) -> Array:
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def masked_mean(v: Array, mask: Array) -> Array:
+    m = mask.astype(v.dtype)
+    return jnp.sum(v * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def coord_criterion(name: str):
+    if name == "SmoothL1":
+        return smooth_l1
+    if name == "MSE":
+        return lambda p, t: (p - t) ** 2
+    raise ValueError(name)
+
+
+def permutation_coord_loss(pred: Array, gt: Array, lig_mask: Array,
+                           isomorphisms: Optional[Array],
+                           iso_mask: Optional[Array], crit) -> Array:
+    """Permutation-invariant coordinate loss
+    (FABind_plus/fabind/utils/permutation_loss.py:4-38): pick, per sample and
+    without gradient, the ligand-graph automorphism minimizing the coord loss,
+    then apply the criterion through that permutation.
+
+    isomorphisms: [B, n_iso, Nc] permutations of PREDICTED atoms; invalid
+    rows (iso_mask False) are identity copies.
+    """
+    if isomorphisms is None:
+        return _plain(pred, gt, lig_mask, crit)
+    # gather pred under each permutation: [B, I, Nc, 3]
+    perm_pred = jax.vmap(lambda p, iso: p[iso])(pred, isomorphisms)
+    per_atom = crit(perm_pred, gt[:, None]).mean(-1)          # [B, I, Nc]
+    m = lig_mask[:, None, :].astype(per_atom.dtype)
+    per_iso = jnp.sum(per_atom * m, axis=-1) / jnp.maximum(jnp.sum(m, -1), 1.0)
+    per_iso = jnp.where(iso_mask, per_iso, jnp.inf)
+    best = jnp.argmin(jax.lax.stop_gradient(per_iso), axis=1)  # [B]
+    best_iso = jnp.take_along_axis(
+        isomorphisms, best[:, None, None], axis=1)[:, 0]       # [B, Nc]
+    pred_best = jax.vmap(lambda p, iso: p[iso])(pred, best_iso)
+    return _plain(pred_best, gt, lig_mask, crit)
+
+
+def _plain(pred, gt, lig_mask, crit):
+    per = crit(pred, gt)                                       # [B, Nc, 3]
+    return masked_mean(per.mean(-1), lig_mask)
+
+
+def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
+                  ) -> Tuple[Array, Dict[str, Array]]:
+    """Total training loss + metrics dict.
+
+    out: FABindOutput; batch: FABindBatch.
+    """
+    crit = coord_criterion(tcfg.coord_loss_function)
+
+    # ---- ligand coordinate loss ----
+    if tcfg.permutation_invariant and batch.isomorphisms is not None:
+        com_coord_loss = permutation_coord_loss(
+            out.coords, batch.lig_coords, out.lig_mask,
+            batch.isomorphisms, batch.iso_mask, crit)
+    else:
+        com_coord_loss = _plain(out.coords, batch.lig_coords, out.lig_mask,
+                                crit)
+    com_coord_loss = tcfg.coord_loss_weight * com_coord_loss
+
+    # ---- distance-map losses (MSE, main_fabind.py:254: criterion=MSELoss) ----
+    pv = out.pair_valid
+    contact_loss = masked_mean((out.y_pred - out.dis_map_target) ** 2, pv)
+    contact_by_pred = masked_mean(
+        (out.y_pred_by_coord - out.dis_map_target) ** 2, pv)
+    contact_distill = masked_mean(
+        (out.y_pred_by_coord - out.y_pred) ** 2, pv)
+    w = tcfg.pair_distance_loss_weight
+    wd = tcfg.pair_distance_distill_loss_weight
+    if tcfg.dismap_choice == "wodm":
+        contact_loss = jnp.zeros(())
+        contact_distill = jnp.zeros(())
+        dismap_total = w * contact_by_pred
+    else:
+        dismap_total = w * contact_loss + w * contact_by_pred + wd * contact_distill
+
+    # ---- pocket classification ----
+    bce = bce_with_logits(out.pocket_cls_logits, out.pocket_cls_label)
+    valid = jnp.sum(out.prot_mask)
+    if tcfg.legacy_padded_bce:
+        # reference computes mean over the padded grid then rescales by
+        # numel/valid (main_fabind.py:398) == sum over grid / valid
+        pocket_cls_loss = jnp.sum(bce) / jnp.maximum(valid, 1.0)
+    else:
+        pocket_cls_loss = masked_mean(bce, out.prot_mask)
+    pocket_cls_loss = tcfg.pocket_cls_loss_weight * pocket_cls_loss
+
+    # ---- pocket center (Huber, delta=pocket_coord_huber_delta) ----
+    pocket_coord_loss = tcfg.pocket_distance_loss_weight * jnp.mean(
+        huber(out.pred_pocket_center, batch.coords_center,
+              tcfg.pocket_coord_huber_delta))
+
+    # ---- pocket radius (FABind+, training.py:71-74) ----
+    radius_loss = jnp.zeros(())
+    if mcfg.is_plus and not mcfg.force_fix_radius:
+        radius_loss = tcfg.pocket_radius_loss_weight * jnp.mean(
+            huber(out.pocket_radius_pred, batch.ligand_radius, 1.0))
+
+    total = (com_coord_loss + dismap_total + pocket_cls_loss +
+             pocket_coord_loss + radius_loss)
+
+    # metrics mirroring the reference epoch stats (main_fabind.py:404-417)
+    sd = jnp.sum((jax.lax.stop_gradient(out.coords) - batch.lig_coords) ** 2,
+                 axis=-1)
+    m = out.lig_mask.astype(sd.dtype)
+    rmsd = jnp.sqrt(jnp.sum(sd * m, 1) / jnp.maximum(jnp.sum(m, 1), 1.0))
+    cm_p = jnp.sum(out.coords * m[..., None], 1) / jnp.maximum(
+        jnp.sum(m, 1), 1.0)[:, None]
+    cm_t = jnp.sum(batch.lig_coords * m[..., None], 1) / jnp.maximum(
+        jnp.sum(m, 1), 1.0)[:, None]
+    centroid = jnp.linalg.norm(cm_p - cm_t, axis=-1)
+
+    metrics = {
+        "loss": total,
+        "com_coord_loss": com_coord_loss,
+        "contact_loss": contact_loss,
+        "contact_by_pred_loss": contact_by_pred,
+        "contact_distill_loss": contact_distill,
+        "pocket_cls_loss": pocket_cls_loss,
+        "pocket_coord_loss": pocket_coord_loss,
+        "pocket_radius_loss": radius_loss,
+        "rmsd_mean": jnp.mean(rmsd),
+        "rmsd_lt2": jnp.mean((rmsd < 2.0).astype(jnp.float32)),
+        "rmsd_lt5": jnp.mean((rmsd < 5.0).astype(jnp.float32)),
+        "centroid_dis_mean": jnp.mean(centroid),
+        "use_stage2": out.use_stage2.astype(jnp.float32),
+        "keep_less_5": jnp.sum(out.keep_less_5.astype(jnp.float32)),
+        "pocket_overflow": jnp.sum(out.pocket_overflow.astype(jnp.float32)),
+    }
+    return total, metrics
+
+
+def confidence_ranking_loss(scores: Array, rmsds: Array,
+                            loss_type: str = "logsigmoid",
+                            keep_cls_2a: bool = False) -> Array:
+    """Pairwise ranking loss over num_copies poses of one complex
+    (FABind_plus/fabind/utils/training_confidence.py:50-77).
+
+    scores/rmsds: [n_copies]. Lower rmsd should score higher.
+    """
+    n = scores.shape[0]
+    order = jnp.argsort(rmsds)                       # best first
+    s = scores[order]
+    # all pairs (i better than j) for i<j
+    ii, jj = jnp.triu_indices(n, k=1)
+    diff = s[ii] - s[jj]
+    if loss_type == "logsigmoid":
+        loss = -jnp.mean(jax.nn.log_sigmoid(diff))
+    elif loss_type == "dynamic_hinge":
+        margin = (rmsds[order][jj] - rmsds[order][ii])
+        loss = jnp.mean(jnp.maximum(0.0, margin - diff))
+    else:
+        raise ValueError(loss_type)
+    if keep_cls_2a:
+        labels = (rmsds < 2.0).astype(scores.dtype)
+        loss = loss + jnp.mean(bce_with_logits(scores, labels))
+    return loss

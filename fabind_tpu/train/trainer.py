@@ -1,0 +1,125 @@
+"""Data-parallel training step (jit + sharding), checkpointable train state.
+
+Replaces the reference's accelerate training driver
+(FABind/fabind/main_fabind.py:289-306, 383-426): one jitted train step over a
+1-D dp mesh; grads are averaged by XLA-inserted psum over ICI. NaN batches are
+skipped inside the step (reference skips them in Python,
+main_fabind.py:394-396).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fabind_tpu.config import FABindConfig
+from fabind_tpu.models.fabind import FABind, make_model
+from fabind_tpu.train.losses import fabind_losses
+from fabind_tpu.train.schedule import build_optimizer
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    opt_state: Any
+    rng: Array
+
+
+def create_train_state(cfg: FABindConfig, rng: Array, batch) -> Tuple[FABind, TrainState]:
+    model = make_model(cfg)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng, "sample": init_rng},
+        batch, train=True)
+    tx = build_optimizer(cfg.train)
+    opt_state = tx.init(variables["params"])
+    return model, TrainState(step=jnp.zeros((), jnp.int32),
+                             params=variables["params"],
+                             opt_state=opt_state, rng=state_rng)
+
+
+def make_train_step(model: FABind, cfg: FABindConfig,
+                    donate: bool = True):
+    tx = build_optimizer(cfg.train)
+    bf16 = cfg.train.bf16
+
+    def loss_fn(params, batch, key):
+        p = params
+        if bf16:
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+        dk, sk = jax.random.split(key)
+        out = model.apply({"params": p}, batch, train=True,
+                          rngs={"dropout": dk, "sample": sk})
+        if bf16:
+            out = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x, out)
+        return fabind_losses(out, batch, cfg.model, cfg.train)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
+        key = jax.random.fold_in(state.rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, key)
+        # NaN-batch skip (main_fabind.py:394-396): zero the update instead of
+        # a host-side `continue`
+        checks = [jnp.isfinite(loss)] + [
+            jnp.isfinite(jnp.sum(jnp.abs(g)))
+            for g in jax.tree_util.tree_leaves(grads)]
+        ok = jnp.stack(checks).all()
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["skipped_nan"] = (~ok).astype(jnp.float32)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, rng=state.rng), metrics
+
+    return train_step
+
+
+def make_sharded_train_step(model: FABind, cfg: FABindConfig, mesh: Mesh):
+    """jit the train step over a dp mesh: params/opt replicated, batch
+    sharded on the leading axis."""
+    step = make_train_step(model, cfg)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("dp"))
+
+    def shard_like_batch(batch):
+        return jax.tree_util.tree_map(lambda _: bsh, batch)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sharded_step(state, batch):
+        batch = jax.lax.with_sharding_constraint(batch, bsh)
+        new_state, metrics = step(state, batch)
+        return new_state, metrics
+
+    return sharded_step
+
+
+def make_eval_step(model: FABind, cfg: FABindConfig, stage: int = 2):
+    @jax.jit
+    def eval_step(params, batch):
+        out = model.apply({"params": params}, batch, train=False, stage=stage)
+        return out
+    return eval_step
+
+
+def make_inference_step(model: FABind):
+    @jax.jit
+    def infer(params, batch):
+        return model.apply({"params": params}, batch, method="inference")
+    return infer

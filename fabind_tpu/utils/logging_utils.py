@@ -1,0 +1,59 @@
+"""Console + file logger and metric formatting.
+
+Replaces the reference's accelerate Logger + TensorBoard writers
+(FABind/fabind/utils/logging_utils.py:5-30, metrics_to_tsb.py:4-9).
+TensorBoard/W&B are optional; metrics always stream to a JSONL file, which is
+the primary observability surface here.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+
+class Logger:
+    def __init__(self, log_dir: Optional[str] = None, name: str = "fabind_tpu"):
+        self.logger = logging.getLogger(name)
+        self.logger.setLevel(logging.INFO)
+        self.logger.handlers.clear()
+        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        self.logger.addHandler(sh)
+        self.jsonl = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(log_dir, "log.txt"))
+            fh.setFormatter(fmt)
+            self.logger.addHandler(fh)
+            self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(log_dir, "tsb"))
+            except Exception:
+                self._tb = None
+
+    def log_message(self, msg: str):
+        self.logger.info(msg)
+
+    def log_metrics(self, metrics: Dict[str, float], step: int,
+                    phase: str = "train"):
+        clean = {k: (float(v) if hasattr(v, "item") or isinstance(
+            v, (int, float)) else v) for k, v in metrics.items()}
+        parts = ", ".join(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                          for k, v in sorted(clean.items()))
+        self.logger.info(f"[{phase} step {step}] {parts}")
+        if self.jsonl:
+            rec = {"ts": time.time(), "phase": phase, "step": step, **clean}
+            self.jsonl.write(json.dumps(rec) + "\n")
+            self.jsonl.flush()
+        if self._tb:
+            for k, v in clean.items():
+                if isinstance(v, float):
+                    self._tb.add_scalar(f"{phase}/{k}", v, step)

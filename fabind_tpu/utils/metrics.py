@@ -1,0 +1,133 @@
+"""Evaluation metrics.
+
+Mirrors the reference metric families (FABind/fabind/utils/utils.py:445-604
+`evaluate_mean_pocket_cls_coord_multi_task`; utils/metrics.py:57-77
+pocket_metrics incl. DCC): ligand RMSD mean/quantiles/<2Å/<5Å, centroid
+distance family, pocket classification accuracy, pocket center MAE/MSE/DCC.
+All functions take dense masked arrays and run host-side on accumulated
+numpy outputs.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def ligand_rmsd(pred: np.ndarray, true: np.ndarray, mask: np.ndarray
+                ) -> np.ndarray:
+    """Per-sample RMSD [B] from dense [B, Nc, 3] + mask [B, Nc]."""
+    sd = ((pred - true) ** 2).sum(-1)
+    m = mask.astype(np.float64)
+    return np.sqrt((sd * m).sum(-1) / np.maximum(m.sum(-1), 1.0))
+
+
+def centroid_distance(pred: np.ndarray, true: np.ndarray, mask: np.ndarray
+                      ) -> np.ndarray:
+    m = mask.astype(np.float64)[..., None]
+    cp = (pred * m).sum(1) / np.maximum(m.sum(1), 1.0)
+    ct = (true * m).sum(1) / np.maximum(m.sum(1), 1.0)
+    return np.linalg.norm(cp - ct, axis=-1)
+
+
+def summarize_rmsd(rmsd: np.ndarray, prefix: str = "rmsd") -> Dict[str, float]:
+    """mean / 25% / 50% / 75% / <2Å / <5Å (utils/utils.py:588-602)."""
+    r = np.asarray(rmsd, np.float64)
+    return {
+        f"{prefix}_mean": float(r.mean()),
+        f"{prefix}_25": float(np.quantile(r, 0.25)),
+        f"{prefix}_50": float(np.quantile(r, 0.50)),
+        f"{prefix}_75": float(np.quantile(r, 0.75)),
+        f"{prefix}_lt2": float((r < 2.0).mean()),
+        f"{prefix}_lt5": float((r < 5.0).mean()),
+    }
+
+
+def pocket_cls_accuracy(logits: np.ndarray, labels: np.ndarray,
+                        mask: np.ndarray) -> float:
+    """Fraction of complexes whose residue classification is fully correct
+    on valid residues (utils/utils.py:533-543 semantics: per-sample all-match
+    accuracy of the rounded sigmoid)."""
+    pred = (1 / (1 + np.exp(-logits)) >= 0.5)
+    ok = ((pred == (labels > 0.5)) | ~mask).all(axis=-1)
+    return float(ok.mean())
+
+
+def pocket_center_metrics(pred_center: np.ndarray, true_center: np.ndarray,
+                          prefix: str = "pocket_center") -> Dict[str, float]:
+    """MAE/MSE/RMSE + DCC = %(dist < 4Å) (utils/metrics.py:62-77)."""
+    d = pred_center - true_center
+    dist = np.linalg.norm(d, axis=-1)
+    return {
+        f"{prefix}_avg_dist": float(dist.mean()),
+        f"{prefix}_mae": float(np.abs(d).mean()),
+        f"{prefix}_rmse": float(np.sqrt((d ** 2).mean())),
+        f"{prefix}_dcc_lt4": float((dist < 4.0).mean()),
+    }
+
+
+def kabsch_rmsd(pred: np.ndarray, true: np.ndarray) -> float:
+    """Optimal-superposition RMSD for a single ligand (used by pose-quality
+    analyses; complements the direct RMSD used for docking accuracy)."""
+    p = pred - pred.mean(0)
+    q = true - true.mean(0)
+    h = p.T @ q
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1, 1, d]) @ u.T
+    p = p @ r.T
+    return float(np.sqrt(((p - q) ** 2).sum(-1).mean()))
+
+
+def symmetric_rmsd(pred: np.ndarray, true: np.ndarray,
+                   isomorphisms: Optional[np.ndarray] = None) -> float:
+    """Symmetry-corrected RMSD: min over ligand-graph automorphisms
+    (reference uses spyrmsd with a timeout fallback to plain RMSD,
+    FABind_plus/fabind/utils/get_sym_rmsd.py:5-35; here automorphisms come
+    from the same precomputed isomorphism lists used by the permutation
+    loss)."""
+    def rmsd(a, b):
+        return float(np.sqrt(((a - b) ** 2).sum(-1).mean()))
+    if isomorphisms is None or len(isomorphisms) == 0:
+        return rmsd(pred, true)
+    return min(rmsd(pred[np.asarray(iso, int)], true)
+               for iso in isomorphisms)
+
+
+class MetricAccumulator:
+    """Streams per-batch outputs; summarizes at the end."""
+
+    def __init__(self):
+        self.rmsds = []
+        self.centroids = []
+        self.cls_ok = []
+        self.centers_pred = []
+        self.centers_true = []
+
+    def update(self, out, batch):
+        pred = np.asarray(out.coords)
+        true = np.asarray(batch.lig_coords)
+        mask = np.asarray(out.lig_mask)
+        self.rmsds.append(ligand_rmsd(pred, true, mask))
+        self.centroids.append(centroid_distance(pred, true, mask))
+        self.centers_pred.append(np.asarray(out.pred_pocket_center))
+        self.centers_true.append(np.asarray(batch.coords_center))
+        logits = np.asarray(out.pocket_cls_logits)
+        labels = np.asarray(out.pocket_cls_label)
+        pm = np.asarray(out.prot_mask)
+        ok = (((1 / (1 + np.exp(-logits)) >= 0.5) == (labels > 0.5)) | ~pm
+              ).all(-1)
+        self.cls_ok.append(ok)
+
+    def summarize(self) -> Dict[str, float]:
+        rmsd = np.concatenate(self.rmsds)
+        cen = np.concatenate(self.centroids)
+        res = summarize_rmsd(rmsd)
+        res.update(summarize_rmsd(cen, prefix="centroid"))
+        res["pocket_cls_accuracy"] = float(
+            np.concatenate(self.cls_ok).mean())
+        res.update(pocket_center_metrics(
+            np.concatenate(self.centers_pred),
+            np.concatenate(self.centers_true)))
+        res["n"] = int(rmsd.shape[0])
+        return res

@@ -1,0 +1,91 @@
+"""FABind+ sampling + confidence-training machinery (tiny shapes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fabind_tpu.config import preset
+from fabind_tpu.data.types import dummy_batch
+from fabind_tpu.models.fabind import make_model
+
+TINY = dict(max_ligand=8, max_pocket=16, max_protein=32, ctx_k=6,
+            ctx_k_whole=6, hidden_size=16, pocket_pred_hidden_size=16,
+            mean_layers=1, n_iter=2)
+
+
+def _setup(confidence=True):
+    cfg = preset("fabind_plus_sampling" if confidence else "fabind_plus",
+                 **TINY)
+    batch = dummy_batch(cfg.shapes, batch_size=2, n_lig_valid=6,
+                        n_prot_valid=24)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k}, batch, train=True))()
+    return cfg, batch, model, variables
+
+
+def test_sampling_produces_diverse_scored_poses():
+    from fabind_tpu.cli.sample import sample_poses
+    cfg, batch, model, variables = _setup()
+    coords, scores = sample_poses(model, variables["params"], batch, cfg,
+                                  sample_size=3, seed=0,
+                                  use_clustering=False)
+    assert coords.shape == (3, 2, cfg.shapes.max_ligand, 3)
+    assert scores.shape == (3, 2)
+    # dropout-on inference must differ between samples
+    assert not np.allclose(coords[0], coords[1])
+    assert np.isfinite(coords).all() and np.isfinite(scores).all()
+
+
+def test_dbscan_cluster_centers():
+    from fabind_tpu.cli.sample import dbscan_cluster_centers
+    rng = np.random.RandomState(0)
+    B, Nr = 2, 60
+    coords = rng.randn(B, Nr, 3) * 2
+    coords[:, 30:] += 30.0          # second far-away cluster
+    probs = np.full((B, Nr), 0.9)
+    mask = np.ones((B, Nr), bool)
+    default = np.zeros((B, 3))
+    centers = dbscan_cluster_centers(probs, coords, mask, eps=9.0,
+                                     min_samples=2, choose_prob=1.0,
+                                     default_centers=default,
+                                     rng=np.random.RandomState(1))
+    # each center must coincide with one of the two cluster means
+    for b in range(B):
+        m1 = coords[b, :30].mean(0)
+        m2 = coords[b, 30:].mean(0)
+        d = min(np.linalg.norm(centers[b] - m1),
+                np.linalg.norm(centers[b] - m2))
+        assert d < 1.0
+
+
+def test_confidence_training_updates_only_head():
+    from fabind_tpu.train.confidence import (build_confidence_optimizer,
+                                             make_confidence_train_step)
+    cfg, batch, model, variables = _setup()
+    params = variables["params"]
+    assert "ranking_score_mlp" in params
+    tx = build_confidence_optimizer(cfg, params)
+    step = make_confidence_train_step(model, cfg, tx)
+    opt_state = tx.init(params)
+    p2, opt_state, metrics = step(params, opt_state, batch,
+                                  jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["confidence_loss"]))
+    # head moved, backbone frozen
+    d_head = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["ranking_score_mlp"], p2["ranking_score_mlp"])
+    assert max(jax.tree_util.tree_leaves(d_head)) > 0
+    d_bb = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        params["complex_model"], p2["complex_model"])
+    assert max(jax.tree_util.tree_leaves(d_bb)) == 0.0
+
+
+def test_pick_best_by_confidence():
+    from fabind_tpu.train.confidence import pick_best_by_confidence
+    coords = jnp.arange(3 * 2 * 4 * 3, dtype=jnp.float32).reshape(3, 2, 4, 3)
+    scores = jnp.asarray([[0.1, 5.0], [2.0, 1.0], [1.5, 3.0]])
+    best, s = pick_best_by_confidence(coords, scores)
+    np.testing.assert_array_equal(np.asarray(best[0]), np.asarray(coords[1, 0]))
+    np.testing.assert_array_equal(np.asarray(best[1]), np.asarray(coords[0, 1]))

@@ -1,0 +1,115 @@
+"""Training step, dp-sharded step, losses, converter round-trip."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fabind_tpu.config import preset
+from fabind_tpu.data.types import dummy_batch
+from fabind_tpu.models.fabind import make_model
+from fabind_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from fabind_tpu.train.convert import convert_state_dict, export_torch_state_dict
+from fabind_tpu.train.losses import confidence_ranking_loss
+from fabind_tpu.train.trainer import (create_train_state, make_sharded_train_step,
+                                      make_train_step)
+
+TINY = dict(max_ligand=8, max_pocket=16, max_protein=32, ctx_k=6,
+            ctx_k_whole=6, hidden_size=16, pocket_pred_hidden_size=16,
+            mean_layers=1, n_iter=2, steps_per_epoch=2, warmup_epochs=1,
+            total_epochs=4)
+
+
+def test_train_step_updates_params():
+    cfg = preset("fabind", **TINY)
+    batch = dummy_batch(cfg.shapes, batch_size=2, n_lig_valid=6,
+                        n_prot_valid=24)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(model, cfg))
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["skipped_nan"]) == 0.0
+    # warmup lr is 0 at step 0 (reference warmup semantics) -> take a second
+    # step before asserting params moved
+    state3, metrics = step(state2, batch)
+    assert float(metrics["skipped_nan"]) == 0.0
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               state.params, state3.params)
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_train_step_skips_nan_batch():
+    cfg = preset("fabind", **TINY)
+    batch = dummy_batch(cfg.shapes, batch_size=2, n_lig_valid=6,
+                        n_prot_valid=24)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(model, cfg))
+    bad = batch.replace(lig_coords=batch.lig_coords.at[0, 0, 0].set(jnp.nan))
+    state2, metrics = step(state, bad)
+    assert float(metrics["skipped_nan"]) == 1.0
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               state.params, state2.params)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+def test_sharded_train_step_8dev():
+    """Data-parallel step over the 8-device CPU mesh (SURVEY.md §2.3 TPU
+    equivalent of DDP)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cfg = preset("fabind", **TINY)
+    batch = dummy_batch(cfg.shapes, batch_size=8, n_lig_valid=6,
+                        n_prot_valid=24)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(8)
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    step = make_sharded_train_step(model, cfg, mesh)
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+
+
+def test_convert_round_trip():
+    cfg = preset("fabind", **TINY)
+    batch = dummy_batch(cfg.shapes, batch_size=1, n_lig_valid=6,
+                        n_prot_valid=24)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k}, batch, train=False))()
+    params = variables["params"]
+    sd = export_torch_state_dict(params)
+    assert any("linear_kv.weight" in k for k in sd)
+    # exercise the torch Sequential naming path (.0/.2 -> linear1/linear2)
+    # used by the real released checkpoints (egnn.py:40-60)
+    sd = {k.replace(".linear1.", ".0.").replace(".linear2.", ".2.")
+          if any(t in k for t in ("edge_mlp", "node_mlp", "coord_mlp",
+                                  "distmap_mlp")) else k: v
+          for k, v in sd.items()}
+    assert any(k.endswith("edge_mlp.0.weight") for k in sd)
+    back, missing, unused = convert_state_dict(sd, params)
+    assert not missing, missing
+    assert not unused, unused
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(back)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_schedule_shapes():
+    from fabind_tpu.train.schedule import build_schedule
+    cfg = preset("fabind", **TINY).train
+    s = build_schedule(cfg)
+    assert float(s(0)) == 0.0
+    w = cfg.warmup_epochs * cfg.steps_per_epoch
+    assert abs(float(s(w)) - cfg.lr) < 1e-8
+
+
+def test_confidence_ranking_loss():
+    scores = jnp.asarray([3.0, 1.0, 2.0])
+    rmsds = jnp.asarray([0.5, 2.5, 1.0])   # best, worst, mid
+    good = confidence_ranking_loss(scores, rmsds)
+    bad = confidence_ranking_loss(-scores, rmsds)
+    assert float(good) < float(bad)
