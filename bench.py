@@ -21,16 +21,37 @@ def main():
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
 
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     batch_size = int(__import__("os").environ.get("FABIND_BENCH_BATCH", "8"))
     cfg = preset("fabind", max_ligand=96, max_pocket=160, max_protein=512,
                  n_iter=8)
-    batch = dummy_batch(cfg.shapes, batch_size=batch_size, n_lig_valid=48,
-                        n_prot_valid=400)
+    t = time.perf_counter()
+    # build the synthetic batch in ONE compiled program — eager op-by-op
+    # dispatch over the TPU tunnel costs minutes
+    batch = jax.jit(lambda: dummy_batch(
+        cfg.shapes, batch_size=batch_size, n_lig_valid=48,
+        n_prot_valid=400))()
+    jax.block_until_ready(batch)
+    log(f"batch built in {time.perf_counter()-t:.1f}s")
     model = make_model(cfg)
     k = jax.random.PRNGKey(0)
+    t = time.perf_counter()
+    # parameter shapes are independent of the shape bucket: initialize on a
+    # tiny bucket to keep the init compile short
+    import dataclasses
+    tiny_shapes = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
+                                      max_protein=32, ctx_k=6, ctx_k_whole=6)
+    tiny = jax.jit(lambda: dummy_batch(tiny_shapes, batch_size=1,
+                                       n_lig_valid=6, n_prot_valid=24))()
     variables = jax.jit(lambda: model.init(
-        {"params": k, "dropout": k, "sample": k}, batch, train=False,
+        {"params": k, "dropout": k, "sample": k}, tiny, train=False,
         stage=2))()
+    jax.block_until_ready(variables)
+    log(f"init in {time.perf_counter()-t:.1f}s")
 
     @jax.jit
     def infer(params, batch):
@@ -38,7 +59,9 @@ def main():
         return coords
 
     # warmup / compile
+    t = time.perf_counter()
     infer(variables, batch).block_until_ready()
+    log(f"compile+first run in {time.perf_counter()-t:.1f}s")
 
     iters = 10
     t0 = time.perf_counter()

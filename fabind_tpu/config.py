@@ -113,6 +113,11 @@ class ModelConfig:
     use_esm2_feat: bool = True
     esm2_concat_raw: bool = False
 
+    # FABFlex-style blind flexible docking (linked from FABind/README.md:55-71;
+    # no code in the reference snapshot): let pocket residue coordinates move
+    # in the docking stage instead of staying frozen between recycles.
+    flexible_docking: bool = False
+
     @property
     def protein_feat_dim(self) -> int:
         if self.esm2_concat_raw:

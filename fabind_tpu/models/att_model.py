@@ -30,6 +30,10 @@ class EfficientMCAttModel(nn.Module):
     n_layers: int
     n_iter: int
     ctx_k: int
+    # FABFlex hook: carry pocket coordinate updates across recycles too
+    # (the reference's movable mask `[glb_c|lig|glb_p]`, utils.py:359-361,
+    # is exactly the lever FABFlex flips)
+    flexible: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -52,7 +56,10 @@ class EfficientMCAttModel(nn.Module):
             h, x, gi, pair_embed, pair_mask,
             cfg.normalize(cfg.intra_cutoff), cfg.normalize(cfg.inter_cutoff),
             self.ctx_k, deterministic=deterministic)
-        movable = gi.layout.movable()[None, :, None]
+        if self.flexible:
+            movable = gi.node_mask()[..., None]
+        else:
+            movable = gi.layout.movable()[None, :, None]
         x_out = jnp.where(movable, z, x)
         return h_out, x_out, pair_out
 

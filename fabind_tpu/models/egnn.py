@@ -52,6 +52,23 @@ class GraphInputs(NamedTuple):
         return self.layout.node_mask(self.lig_mask, self.pkt_mask)
 
 
+def _l1_edge_parts(mlp, h: Array):
+    """Split mlp.linear1 over the [h_dst ++ h_src ++ radial] input structure
+    into per-node projections + the radial column, using zero-padded calls so
+    the parameter tree stays byte-identical to the fused MLP.
+
+    Returns (a [B,N,H] = W_dst h + bias, s [B,N,H] = W_src h, w_r [H])."""
+    B, N, C = h.shape
+    z1 = jnp.zeros((B, N, 1), h.dtype)
+    zC = jnp.zeros_like(h)
+    zero = jnp.zeros((1, 1, 2 * C + 1), h.dtype)
+    b0 = mlp.l1(zero)
+    a = mlp.l1(jnp.concatenate([h, zC, z1], axis=-1))
+    s = mlp.l1(jnp.concatenate([zC, h, z1], axis=-1)) - b0
+    w_r = (mlp.l1(zero.at[..., -1].set(1.0)) - b0)[0, 0]
+    return a, s, w_r
+
+
 def _masked_softmax(logits: Array, mask: Array, axis: int) -> Array:
     logits = jnp.where(mask, logits, -BIG)
     out = jax.nn.softmax(logits, axis=axis)
@@ -125,26 +142,18 @@ class EGCL(nn.Module):
         edge_mlp, node_mlp, coord_mlp = self._mlps(2 * C + 1)
         drop = nn.Dropout(cfg.dropout, name="dropout")
 
-        # ---- gather all three edge groups, compute raw radials ----
-        # neighbor part (normal destinations)
-        h_nbr = G.gather_nodes(h, ctx.nbr_idx)                  # [B,N,K,C]
+        # ---- gather coordinates for all three edge groups, compute radials
         x_nbr = G.gather_nodes(x, ctx.nbr_idx)                  # [B,N,K,3]
         diff_n = x[:, :, None, :] - x_nbr
         r_n = jnp.sum(diff_n * diff_n, axis=-1)                 # [B,N,K]
         m_n = ctx.nbr_mask
 
-        # glb_c destination
-        h_gc = G.gather_nodes(h, jnp.broadcast_to(
-            ctx.glbc_src[None], (h.shape[0],) + ctx.glbc_src.shape))
         x_gc = G.gather_nodes(x, jnp.broadcast_to(
             ctx.glbc_src[None], (x.shape[0],) + ctx.glbc_src.shape))
         diff_c = x[:, layout.glb_c][:, None, :] - x_gc          # [B,Dc,3]
         r_c = jnp.sum(diff_c * diff_c, axis=-1)
         m_c = ctx.glbc_src_mask
 
-        # glb_p destination
-        h_gp = G.gather_nodes(h, jnp.broadcast_to(
-            ctx.glbp_src[None], (h.shape[0],) + ctx.glbp_src.shape))
         x_gp = G.gather_nodes(x, jnp.broadcast_to(
             ctx.glbp_src[None], (x.shape[0],) + ctx.glbp_src.shape))
         diff_p = x[:, layout.glb_p][:, None, :] - x_gp
@@ -159,19 +168,54 @@ class EGCL(nn.Module):
         )
         div = _norm_div(r_sq, cfg)
 
-        def messages(h_dst, h_src, radial, div_b):
-            feat = jnp.concatenate(
-                [jnp.broadcast_to(h_dst[..., None, :], h_src.shape), h_src,
-                 (radial / div_b)[..., None]], axis=-1)
-            m = edge_mlp(feat, deterministic=deterministic)
-            if not cfg.is_plus:
-                m = drop(m, deterministic=deterministic)
-            return m
+        # The edge MLP's first linear over [h_dst ++ h_src ++ radial] is
+        # decomposed into per-node matmuls + a rank-1 radial term whenever
+        # there is no LayerNorm on the concatenated input — this removes the
+        # O(E * (2C+1) * H) edge matmul and the concat materialization, the
+        # dominant HBM/FLOP cost of the ctx layer.
+        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
 
-        div_n = div[:, None, None]
-        msg_n = messages(h, h_nbr, r_n, div_n)                  # [B,N,K,C]
-        msg_c = messages(h[:, layout.glb_c], h_gc, r_c, div[:, None])
-        msg_p = messages(h[:, layout.glb_p], h_gp, r_p, div[:, None])
+        if decompose:
+            a, s_proj, w_r = _l1_edge_parts(edge_mlp, h)
+
+            def messages(dst_idx_slice, s_src, radial, div_b, a_dst):
+                pre = a_dst + s_src + (radial / div_b)[..., None] * w_r
+                m = edge_mlp.finish(pre, deterministic=deterministic)
+                if not cfg.is_plus:
+                    m = drop(m, deterministic=deterministic)
+                return m
+
+            div_n = div[:, None, None]
+            s_nbr = G.gather_nodes(s_proj, ctx.nbr_idx)         # [B,N,K,H]
+            msg_n = messages(None, s_nbr, r_n, div_n, a[:, :, None, :])
+            s_gc = G.gather_nodes(s_proj, jnp.broadcast_to(
+                ctx.glbc_src[None], (h.shape[0],) + ctx.glbc_src.shape))
+            msg_c = messages(None, s_gc, r_c, div[:, None],
+                             a[:, layout.glb_c][:, None, :])
+            s_gp = G.gather_nodes(s_proj, jnp.broadcast_to(
+                ctx.glbp_src[None], (h.shape[0],) + ctx.glbp_src.shape))
+            msg_p = messages(None, s_gp, r_p, div[:, None],
+                             a[:, layout.glb_p][:, None, :])
+        else:
+            h_nbr = G.gather_nodes(h, ctx.nbr_idx)              # [B,N,K,C]
+            h_gc = G.gather_nodes(h, jnp.broadcast_to(
+                ctx.glbc_src[None], (h.shape[0],) + ctx.glbc_src.shape))
+            h_gp = G.gather_nodes(h, jnp.broadcast_to(
+                ctx.glbp_src[None], (h.shape[0],) + ctx.glbp_src.shape))
+
+            def messages(h_dst, h_src, radial, div_b):
+                feat = jnp.concatenate(
+                    [jnp.broadcast_to(h_dst[..., None, :], h_src.shape), h_src,
+                     (radial / div_b)[..., None]], axis=-1)
+                m = edge_mlp(feat, deterministic=deterministic)
+                if not cfg.is_plus:
+                    m = drop(m, deterministic=deterministic)
+                return m
+
+            div_n = div[:, None, None]
+            msg_n = messages(h, h_nbr, r_n, div_n)              # [B,N,K,C]
+            msg_c = messages(h[:, layout.glb_c], h_gc, r_c, div[:, None])
+            msg_p = messages(h[:, layout.glb_p], h_gp, r_p, div[:, None])
 
         # ---- coord update: segment-mean of diff * coord_mlp(m) (egnn.py:111-128)
         def coord_agg(msg, diff, mask):
@@ -287,6 +331,15 @@ class InterAttention(nn.Module):
                                  name="coord_mlp")
         drop = nn.Dropout(cfg.dropout, name="dropout")
 
+        # decompose coord_mlp.linear1 over v_edge = v_node + r * v_r: the
+        # O(E*C^2) per-edge matmul becomes a per-node matmul + a rank-1
+        # radial correction (exact when there is no LayerNorm on the input)
+        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
+        if decompose:
+            zc = jnp.zeros((1, 1, self.hidden), v_node.dtype)
+            b0 = coord_mlp.l1(zc)
+            u_r = (coord_mlp.l1(v_r[None, None, :]) - b0)[0, 0]
+
         def direction(q_d, k_node_s, v_node_s, r_ds, adj_ds, bias_ds, x_d, x_s,
                       diff_ds):
             """One attention direction: destinations d attend over sources s.
@@ -303,8 +356,13 @@ class InterAttention(nn.Module):
             agg = jnp.einsum("bds,bsc->bdc", A, v_node_s)
             agg = agg + jnp.sum(A * r_ds, axis=-1)[..., None] * v_r
             # coord: Σ_s A * coord_mlp(v_edge) * diff  (egnn.py:239-252)
-            v_edge = v_node_s[:, None, :, :] + r_ds[..., None] * v_r
-            phi = coord_mlp(v_edge, deterministic=deterministic)[..., 0]
+            if decompose:
+                l1_v = coord_mlp.l1(v_node_s)                    # [B,Ns,H]
+                pre = l1_v[:, None, :, :] + r_ds[..., None] * u_r
+                phi = coord_mlp.finish(pre, deterministic=deterministic)[..., 0]
+            else:
+                v_edge = v_node_s[:, None, :, :] + r_ds[..., None] * v_r
+                phi = coord_mlp(v_edge, deterministic=deterministic)[..., 0]
             t = A * phi                                          # [B,Nd,Ns]
             dx = jnp.sum(t, axis=-1)[..., None] * x_d - jnp.einsum(
                 "bds,bsx->bdx", t, x_s)

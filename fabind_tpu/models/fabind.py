@@ -74,7 +74,7 @@ class FABind(nn.Module):
             self.shapes.ctx_k_whole, name="pocket_pred_model")
         self.complex_model = EfficientMCAttModel(
             cfg, C, C, cfg.mean_layers, cfg.n_iter, self.shapes.ctx_k,
-            name="complex_model")
+            flexible=cfg.flexible_docking, name="complex_model")
 
         if cfg.is_plus:
             s = cfg.mlp_hidden_scale

@@ -31,6 +31,13 @@ class MLPBlock(nn.Module):
     with SiLU and no LayerNorm (egnn.py:40-60); FABind+ replaces them with
     MLP/MLPwithLastAct/MLPwoBias (relu, optional LayerNorm `use_ln_mlp`,
     dropout inside, hidden = n*in_dim) (FABind_plus model_utils.py:10-74).
+
+    Besides the standard __call__, exposes `l1` (raw first-linear) and
+    `finish` (act -> dropout -> second linear -> ...) so callers can
+    algebraically decompose the first linear over structured edge inputs
+    (h_dst ++ h_src ++ radial) into per-node matmuls + rank-1 corrections —
+    the key TPU optimization for the EGNN edge MLPs. Only valid when
+    use_ln=False (LayerNorm mixes the concatenated input).
     """
 
     hidden_dim: int
@@ -43,23 +50,40 @@ class MLPBlock(nn.Module):
     # dropout placement: "none" | "inner" (after first act) | "both"
     dropout_pos: str = "none"
 
-    @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        act = ACTS[self.act]
+    def setup(self):
+        # attribute names define the param paths (linear1/linear2/layernorm),
+        # matching the torch module names for checkpoint conversion
         if self.use_ln:
-            x = nn.LayerNorm(name="layernorm")(x)
-        x = nn.Dense(self.hidden_dim, name="linear1")(x)
-        x = act(x)
-        if self.dropout_pos in ("inner", "both") and self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dropout1")(
-                x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, use_bias=self.bias_out, name="linear2")(x)
+            self.layernorm = nn.LayerNorm()
+        self.linear1 = nn.Dense(self.hidden_dim)
+        self.linear2 = nn.Dense(self.out_dim, use_bias=self.bias_out)
+        if self.dropout_rate > 0 and self.dropout_pos in ("inner", "both"):
+            self.dropout1 = nn.Dropout(self.dropout_rate)
+        if self.dropout_rate > 0 and self.dropout_pos == "both":
+            self.dropout2 = nn.Dropout(self.dropout_rate)
+
+    def l1(self, x: Array) -> Array:
+        """First linear only (no LayerNorm support)."""
+        assert not self.use_ln
+        return self.linear1(x)
+
+    def finish(self, pre: Array, deterministic: bool = True) -> Array:
+        """Complete the MLP from the first-linear pre-activation."""
+        act = ACTS[self.act]
+        x = act(pre)
+        if self.dropout_rate > 0 and self.dropout_pos in ("inner", "both"):
+            x = self.dropout1(x, deterministic=deterministic)
+        x = self.linear2(x)
         if self.last_act:
             x = act(x)
-        if self.dropout_pos == "both" and self.dropout_rate > 0:
-            x = nn.Dropout(self.dropout_rate, name="dropout2")(
-                x, deterministic=deterministic)
+        if self.dropout_rate > 0 and self.dropout_pos == "both":
+            x = self.dropout2(x, deterministic=deterministic)
         return x
+
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if self.use_ln:
+            x = self.layernorm(x)
+        return self.finish(self.linear1(x), deterministic)
 
 
 class Transition(nn.Module):

@@ -74,3 +74,54 @@ def post_optimize_batch(pred_coords: Array, ref_coords: Array,
 
 post_optimize_batch_jit = jax.jit(post_optimize_batch,
                                   static_argnames=("steps",))
+
+
+def distance_map_loss(epoch: Array, x: Array, y_pred: Array,
+                      protein_xyz: Array, ref_dis: Array, las_mask: Array,
+                      atom_mask: Array, pkt_mask: Array,
+                      dis_thres: float = 10.0) -> Array:
+    """TankBind-style distance-map docking loss
+    (FABind/fabind/utils/generation_utils.py:42-69): |clamp(cdist(P, x), 10)
+    - y_pred| summed over valid pairs; configuration loss phased in after
+    500 steps with weight 5e-3 * (epoch - 500)."""
+    dis = safe_sqrt(jnp.sum((protein_xyz[..., :, None, :]
+                             - x[..., None, :, :]) ** 2, axis=-1))
+    pm = pkt_mask[..., :, None] & atom_mask[..., None, :]
+    inter = jnp.sum(jnp.abs(jnp.minimum(dis, dis_thres) - y_pred) * pm,
+                    axis=(-1, -2))
+    conf = configuration_loss(x, ref_dis, las_mask, atom_mask)
+    w = jnp.maximum(epoch - 500, 0) * 5e-3
+    return inter + w * conf
+
+
+def distance_optimize_batch(y_pred: Array, protein_xyz: Array,
+                            ref_coords: Array, las_mask: Array,
+                            atom_mask: Array, pkt_mask: Array,
+                            key: Array, steps: int = 5000, lr: float = 0.1,
+                            dis_thres: float = 10.0) -> Tuple[Array, Array]:
+    """Batched legacy distance-map docking (generation_utils.py:72-97):
+    initialize atoms uniformly within ±5 Å of the pocket center, Adam on
+    coords against the predicted distance map + LAS constraints."""
+    ref_dis = _pair_dist(ref_coords)
+    pc = jnp.sum(protein_xyz * pkt_mask[..., None], axis=-2, keepdims=True) \
+        / jnp.maximum(jnp.sum(pkt_mask, axis=-1)[..., None, None], 1.0)
+    x0 = pc + 5.0 * (2.0 * jax.random.uniform(
+        key, ref_coords.shape, ref_coords.dtype) - 1.0)
+    opt = optax.adam(lr)
+
+    def step(carry, epoch):
+        x, opt_state = carry
+        def total(x):
+            per = distance_map_loss(epoch, x, y_pred, protein_xyz, ref_dis,
+                                    las_mask, atom_mask, pkt_mask, dis_thres)
+            return jnp.sum(per), per
+        (_, per), g = jax.value_and_grad(total, has_aux=True)(x)
+        updates, opt_state = opt.update(g, opt_state, x)
+        return (optax.apply_updates(x, updates), opt_state), None
+
+    (x, _), _ = jax.lax.scan(step, (x0, opt.init(x0)),
+                             jnp.arange(steps, dtype=jnp.float32))
+    final = distance_map_loss(jnp.asarray(float(steps)), x, y_pred,
+                              protein_xyz, ref_dis, las_mask, atom_mask,
+                              pkt_mask, dis_thres)
+    return x, final

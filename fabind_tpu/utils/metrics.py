@@ -131,3 +131,52 @@ class MetricAccumulator:
             np.concatenate(self.centers_true)))
         res["n"] = int(rmsd.shape[0])
         return res
+
+
+def contact_cls_metrics(y_pred: np.ndarray, y_true: np.ndarray,
+                        mask: Optional[np.ndarray] = None,
+                        threshold: float = 8.0,
+                        prefix: str = "contact") -> Dict[str, float]:
+    """Contact classification metrics over distance maps
+    (reference utils/metrics.py:7-55 `myMetric`/`cls_metric`: accuracy,
+    AUROC, precision, recall, F1 on contact = distance < 8Å)."""
+    if mask is not None:
+        y_pred = y_pred[mask]
+        y_true = y_true[mask]
+    pred_c = y_pred < threshold
+    true_c = y_true < threshold
+    tp = float((pred_c & true_c).sum())
+    fp = float((pred_c & ~true_c).sum())
+    fn = float((~pred_c & true_c).sum())
+    tn = float((~pred_c & ~true_c).sum())
+    eps = 1e-12
+    out = {
+        f"{prefix}_accuracy": (tp + tn) / max(tp + tn + fp + fn, 1.0),
+        f"{prefix}_precision": tp / (tp + fp + eps),
+        f"{prefix}_recall": tp / (tp + fn + eps),
+    }
+    out[f"{prefix}_f1"] = (2 * out[f"{prefix}_precision"]
+                           * out[f"{prefix}_recall"]
+                           / (out[f"{prefix}_precision"]
+                              + out[f"{prefix}_recall"] + eps))
+    try:
+        from sklearn.metrics import roc_auc_score
+        score = -y_pred  # smaller predicted distance = more likely contact
+        if true_c.any() and (~true_c).any():
+            out[f"{prefix}_auroc"] = float(roc_auc_score(true_c, score))
+    except Exception:
+        pass
+    return out
+
+
+def affinity_metrics(pred: np.ndarray, true: np.ndarray,
+                     prefix: str = "affinity") -> Dict[str, float]:
+    """Pearson + RMSE + MAE (reference utils/metrics.py:57-60)."""
+    pred = np.asarray(pred, np.float64)
+    true = np.asarray(true, np.float64)
+    pearson = float(np.corrcoef(pred, true)[0, 1]) if len(pred) > 1 else 0.0
+    return {
+        f"{prefix}_pearson": pearson,
+        f"{prefix}_rmse": float(np.sqrt(((pred - true) ** 2).mean())),
+        f"{prefix}_mae": float(np.abs(pred - true).mean()),
+    }
