@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from fabind_tpu.models.layers import Attention, InteractionModule, Transition
+from fabind_tpu.models.layers import (Attention, InteractionModule, MLPBlock,
+                                      Transition)
 
 Array = jax.Array
 
@@ -35,9 +36,9 @@ class RowAttentionBlock(nn.Module):
                  deterministic: bool = True) -> Array:
         res = node_embed_i
         if not self.rm_layernorm:
-            node_embed_i = nn.LayerNorm(name="layernorm_node_i")(node_embed_i)
-            node_embed_j = nn.LayerNorm(name="layernorm_node_j")(node_embed_j)
-            pair_embed = nn.LayerNorm(name="layernorm_pair")(pair_embed)
+            node_embed_i = nn.LayerNorm(epsilon=1e-5, name="layernorm_node_i")(node_embed_i)
+            node_embed_j = nn.LayerNorm(epsilon=1e-5, name="layernorm_node_j")(node_embed_j)
+            pair_embed = nn.LayerNorm(epsilon=1e-5, name="layernorm_pair")(pair_embed)
         # (*, 1, I, J) mask bias + (*, H, I, J) gated pair bias
         mask_bias = INF * (pair_mask.astype(pair_embed.dtype) - 1.0)
         mask_bias = mask_bias[..., None, :, :]
@@ -67,7 +68,7 @@ class RowTriangleAttentionBlock(nn.Module):
                  deterministic: bool = True) -> Array:
         res = pair_embed
         if not self.rm_layernorm:
-            pair_embed = nn.LayerNorm(name="layernorm")(pair_embed)
+            pair_embed = nn.LayerNorm(epsilon=1e-5, name="layernorm")(pair_embed)
         mask_bias = INF * (pair_mask.astype(pair_embed.dtype) - 1.0)
         mask_bias = mask_bias[..., :, None, None, :]          # (*, I, 1, 1, J)
         dist_bias = (
@@ -85,11 +86,41 @@ class RowTriangleAttentionBlock(nn.Module):
 class CrossAttentionModule(nn.Module):
     """p<-c and c<-p row attention + transitions + pair update
     (cross_att.py:7-54). Forward order matters: the compound side attends to
-    the *updated* protein side."""
+    the *updated* protein side.
+
+    FABind+ (FABind_plus/fabind/models/cross_att.py:7-46) replaces the
+    Transition blocks with MLPwithLastAct (n=mlp_hidden_scale, optional
+    LayerNorm, dropout inside and after); attention math is otherwise
+    identical for the released configs (dis_pair_type='no')."""
 
     rm_layernorm: bool = False
     keep_trig_attn: bool = False
     dropout_rate: float = 0.1
+    is_plus: bool = False
+    mlp_hidden_scale: int = 1
+    use_ln_mlp: bool = False
+    mha_heads: int = 4
+
+    def _transition(self, name: str):
+        if self.is_plus:
+            return lambda x, det: x + MLPBlock(
+                self.mlp_hidden_scale * x.shape[-1], x.shape[-1], act="relu",
+                use_ln=self.use_ln_mlp, last_act=True,
+                dropout_rate=self.dropout_rate, dropout_pos="both",
+                name=name)(x, deterministic=det)
+        return lambda x, det: x + Transition(
+            n=2, rm_layernorm=self.rm_layernorm, name=name)(x)
+
+    def _pair_transition(self, name: str):
+        # pair transition is NOT residual (cross_att.py:53)
+        if self.is_plus:
+            return lambda x, det: MLPBlock(
+                self.mlp_hidden_scale * x.shape[-1], x.shape[-1], act="relu",
+                use_ln=self.use_ln_mlp, last_act=True,
+                dropout_rate=self.dropout_rate, dropout_pos="both",
+                name=name)(x, deterministic=det)
+        return lambda x, det: Transition(
+            n=2, rm_layernorm=self.rm_layernorm, name=name)(x)
 
     @nn.compact
     def __call__(self, p_embed: Array, p_mask: Array, c_embed: Array,
@@ -109,24 +140,24 @@ class CrossAttentionModule(nn.Module):
                 -2, -3)
 
         p_embed = RowAttentionBlock(
+            no_heads=self.mha_heads,
             rm_layernorm=self.rm_layernorm, dropout_rate=self.dropout_rate,
             name="p_attention_block")(
                 p_embed, c_embed, pair_embed, pair_mask, p_mask, deterministic)
         c_embed = RowAttentionBlock(
+            no_heads=self.mha_heads,
             rm_layernorm=self.rm_layernorm, dropout_rate=self.dropout_rate,
             name="c_attention_block")(
                 c_embed, p_embed,
                 jnp.swapaxes(pair_embed, -2, -3),
                 jnp.swapaxes(pair_mask, -1, -2),
                 c_mask, deterministic)
-        p_embed = p_embed + Transition(n=2, rm_layernorm=self.rm_layernorm,
-                                       name="p_transition")(p_embed)
-        c_embed = c_embed + Transition(n=2, rm_layernorm=self.rm_layernorm,
-                                       name="c_transition")(c_embed)
+        p_embed = self._transition("p_transition")(p_embed, deterministic)
+        c_embed = self._transition("c_transition")(c_embed, deterministic)
         pair_embed = pair_embed + InteractionModule(
             32, pair_embed.shape[-1], rm_layernorm=self.rm_layernorm,
             name="inter_layer")(p_embed, c_embed, p_mask, c_mask)[0]
-        pair_embed = Transition(n=2, rm_layernorm=self.rm_layernorm,
-                                name="pair_transition")(pair_embed)
+        pair_embed = self._pair_transition("pair_transition")(
+            pair_embed, deterministic)
         pair_embed = pair_embed * pair_mask[..., None].astype(pair_embed.dtype)
         return p_embed, c_embed, pair_embed

@@ -274,6 +274,10 @@ class InterAttention(nn.Module):
                     rm_layernorm=cfg.rm_layernorm,
                     keep_trig_attn=cfg.keep_trig_attn,
                     dropout_rate=cfg.dropout,
+                    is_plus=cfg.is_plus,
+                    mlp_hidden_scale=cfg.mlp_hidden_scale,
+                    use_ln_mlp=cfg.use_ln_mlp,
+                    mha_heads=cfg.mha_heads,
                     name="cross_attn_module",
                 )(p_side, p_mask_side, c_side, c_mask_side,
                   pair_embed, pair_mask, deterministic=deterministic)
@@ -440,9 +444,16 @@ class MCAttEGNN(nn.Module):
             h, x_new = EGCL(cfg, self.hidden, coord_max, name=f"gcl_{i}")(
                 h, x, ctx, gi, deterministic)
             x = maybe_fix(x, x_new)
-            h, x_new, pair_embed = InterAttention(
+            h, x_new, pair_new = InterAttention(
                 cfg, self.hidden, coord_max, name=f"att_{i}")(
                     h, x, adj, gi, pair_embed, pair_mask, deterministic)
+            # FABind+ threads the updated pair embedding through the stack
+            # (plus egnn.py:380-392); base DISCARDS it — MC_Att_L.forward
+            # returns only (h, coord, att) and MCAttEGNN never reassigns
+            # pair_embed_batched (base egnn.py:313-333,411-425), so every
+            # layer biases off the pair built at loop entry.
+            if cfg.is_plus:
+                pair_embed = pair_new
             x = maybe_fix(x, x_new)
             if not cfg.rm_LAS_constrained_optim and not cfg.only_last_LAS:
                 x_l = las_projection_step(

@@ -104,7 +104,7 @@ class FABind(nn.Module):
         else:
             self.protein_to_pocket = TransitionDiffOutDim(
                 out_dim=1, n=4, name="protein_to_pocket")
-            self.layernorm = nn.LayerNorm(name="layernorm")
+            self.layernorm = nn.LayerNorm(epsilon=1e-5, name="layernorm")
             self.distmap_mlp = MLPBlock(C, 1, act="relu", name="distmap_mlp")
 
     # ------------------------------------------------------------------ utils

@@ -54,7 +54,7 @@ class MLPBlock(nn.Module):
         # attribute names define the param paths (linear1/linear2/layernorm),
         # matching the torch module names for checkpoint conversion
         if self.use_ln:
-            self.layernorm = nn.LayerNorm()
+            self.layernorm = nn.LayerNorm(epsilon=1e-5)
         self.linear1 = nn.Dense(self.hidden_dim)
         self.linear2 = nn.Dense(self.out_dim, use_bias=self.bias_out)
         if self.dropout_rate > 0 and self.dropout_pos in ("inner", "both"):
@@ -96,7 +96,7 @@ class Transition(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = x.shape[-1]
         if not self.rm_layernorm:
-            x = nn.LayerNorm(name="layernorm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="layernorm")(x)
         x = nn.Dense(self.n * h, name="linear_1")(x)
         x = nn.Dense(h, name="linear_2")(jax.nn.relu(x))
         return x
@@ -112,7 +112,7 @@ class TransitionDiffOutDim(nn.Module):
     @nn.compact
     def __call__(self, z: Array) -> Array:
         h = z.shape[-1]
-        z = nn.LayerNorm(name="layernorm")(z)
+        z = nn.LayerNorm(epsilon=1e-5, name="layernorm")(z)
         z = nn.Dense(self.n * h, name="linear1")(z)
         z = nn.Dense(self.out_dim, name="linear2")(jax.nn.relu(z))
         return z
@@ -170,8 +170,8 @@ class InteractionModule(nn.Module):
             c_mask = jnp.ones(c_embed.shape[:-1], bool)
         inter_mask = jnp.einsum("...i,...j->...ij", p_mask, c_mask)
         if not self.rm_layernorm:
-            p_embed = nn.LayerNorm(name="layer_norm_p")(p_embed)
-            c_embed = nn.LayerNorm(name="layer_norm_c")(c_embed)
+            p_embed = nn.LayerNorm(epsilon=1e-5, name="layer_norm_p")(p_embed)
+            c_embed = nn.LayerNorm(epsilon=1e-5, name="layer_norm_c")(c_embed)
         p = nn.Dense(self.hidden_dim, name="linear_p")(p_embed)
         c = nn.Dense(self.hidden_dim, name="linear_c")(c_embed)
         if self.opm:

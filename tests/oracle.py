@@ -19,7 +19,7 @@ def relu(x):
     return np.maximum(x, 0.0)
 
 
-def layernorm(x, gamma, beta, eps=1e-6):
+def layernorm(x, gamma, beta, eps=1e-5):
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
     return (x - mu) / np.sqrt(var + eps) * gamma + beta
@@ -194,10 +194,23 @@ def gated_mha(p, q_x, kv_x, biases, c_hidden=32, heads=4):
 
 
 def transition(p, x):
-    """No-layernorm Transition (rm_layernorm=True released configs)."""
-    h = x @ np.asarray(p["linear_1"]["kernel"]) + np.asarray(p["linear_1"]["bias"])
-    return relu(h) @ np.asarray(p["linear_2"]["kernel"]) + np.asarray(
-        p["linear_2"]["bias"])
+    """Base: no-layernorm Transition (rm_layernorm=True released configs).
+    FABind+: MLPwithLastAct (LN -> linear1 -> relu -> linear2 -> relu;
+    FABind_plus/fabind/models/model_utils.py:31-53, used for the cross-attn
+    transitions, plus cross_att.py:15-17)."""
+    if "linear_1" in p:
+        h = x @ np.asarray(p["linear_1"]["kernel"]) + np.asarray(
+            p["linear_1"]["bias"])
+        return relu(h) @ np.asarray(p["linear_2"]["kernel"]) + np.asarray(
+            p["linear_2"]["bias"])
+    if "layernorm" in p:
+        ln = p["layernorm"]
+        x = layernorm(x, np.asarray(ln["scale"]), np.asarray(ln["bias"]),
+                      eps=1e-5)
+    h = relu(x @ np.asarray(p["linear1"]["kernel"]) + np.asarray(
+        p["linear1"]["bias"]))
+    return relu(h @ np.asarray(p["linear2"]["kernel"]) + np.asarray(
+        p["linear2"]["bias"]))
 
 
 def interaction(p, p_embed, c_embed, p_mask, c_mask):
