@@ -181,7 +181,9 @@ class FABind(nn.Module):
         keep = (d < radius[:, None]) & batch.prot_mask
         cnt = jnp.sum(keep, axis=1)
         Nr = batch.prot_mask.shape[1]
-        fallback = (jnp.arange(Nr)[None, :] < 100) & batch.prot_mask
+        # the reference ADDS the first 100 residues to any existing keeps
+        # (keepNode[:100] = True, model.py:199-201)
+        fallback = ((jnp.arange(Nr)[None, :] < 100) | keep) & batch.prot_mask
         less5 = cnt < 5
         keep = jnp.where(less5[:, None], fallback, keep)
         idx, mask, overflow = G.compact_keep_mask(keep, self.shapes.max_pocket)

@@ -122,9 +122,27 @@ def install_shims():
     tgu = types.ModuleType("torch_geometric.utils")
     tgu.to_dense_batch = to_dense_batch
     tgu.to_dense_adj = to_dense_adj
+    tgd = types.ModuleType("torch_geometric.data")
+    tgd.Data = type("Data", (SimpleNamespace,), {})
+    tgd.HeteroData = type("HeteroData", (SimpleNamespace,), {})
     tg.utils = tgu
+    tg.data = tgd
     sys.modules["torch_geometric"] = tg
     sys.modules["torch_geometric.utils"] = tgu
+    sys.modules["torch_geometric.data"] = tgd
+
+    # import-only stubs for host-side deps never exercised by the golden
+    # tests (the reference imports them at module scope of utils/utils.py)
+    for name in ("torchmetrics", "rdkit", "rdkit.Chem",
+                 "rdkit.Chem.rdMolTransforms", "rdkit.Geometry",
+                 "spyrmsd", "spyrmsd.rmsd", "spyrmsd.molecule"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+    sys.modules["rdkit"].Chem = sys.modules["rdkit.Chem"]
+    sys.modules["rdkit.Chem"].rdMolTransforms = sys.modules[
+        "rdkit.Chem.rdMolTransforms"]
+    sys.modules["rdkit.Geometry"].Point3D = type("Point3D", (), {})
 
 
 _LOADED: dict = {}
@@ -138,7 +156,8 @@ def load_ref_models(root: str):
         return _LOADED[root]
     install_shims()
     for name in [m for m in sys.modules
-                 if m == "models" or m.startswith("models.")]:
+                 if m in ("models", "utils")
+                 or m.startswith(("models.", "utils."))]:
         del sys.modules[name]
     _LOADED.clear()
     sys.path.insert(0, root)
@@ -147,10 +166,11 @@ def load_ref_models(root: str):
         att_model = importlib.import_module("models.att_model")
         cross_att = importlib.import_module("models.cross_att")
         model_utils = importlib.import_module("models.model_utils")
+        model = importlib.import_module("models.model")
     finally:
         sys.path.remove(root)
     ns = SimpleNamespace(egnn=egnn, att_model=att_model, cross_att=cross_att,
-                         model_utils=model_utils)
+                         model_utils=model_utils, model=model)
     _LOADED[root] = ns
     return ns
 
@@ -332,6 +352,212 @@ def make_complex_inputs(seed: int, specs, hidden: int, coord_scale: float = 5.0)
         las_adj=f_las_adj, las_ref=f_las_ref,
     )
     return torch_in, flax_in, specs
+
+
+class FakeData:
+    """Minimal stand-in for a collated PyG HeteroData batch: dict of
+    attribute stores keyed by node/edge store name, plus top-level attrs."""
+
+    def __init__(self):
+        self._stores = {}
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            key = tuple(key)
+        return self._stores.setdefault(key, SimpleNamespace())
+
+
+def make_full_fixture(seed: int, specs, esm_dim: int = 15,
+                      pocket_radius: float = 8.0):
+    """Matched (torch FakeData, numpy padded dict) inputs for the full-model
+    golden test, mirroring construct_data_from_graph_gvp_mean
+    (FABind/fabind/utils/utils.py:202-442) in eval mode
+    (pocket_center_rdkit init, no noise, no rotation, includeDisMap).
+
+    specs: list of {"n_lig": int, "n_prot": int}.
+    """
+    rng = np.random.default_rng(seed)
+    B = len(specs)
+    Nc = max(s["n_lig"] for s in specs)
+    Nr = max(s["n_prot"] for s in specs)
+    Kb = 4
+
+    data = FakeData()
+    per = {k: [] for k in
+           ("lig_feat", "lig_gt", "lig_init", "rdkit", "prot_xyz", "esm",
+            "keep", "input_xyz", "dis_map", "bond_local", "las_local")}
+
+    for s in specs:
+        nl, npr = s["n_lig"], s["n_prot"]
+        prot = rng.normal(0, 5.0, (npr, 3)).astype(np.float32)
+        prot = prot - prot.mean(0, keepdims=True)
+        anchor = prot[rng.integers(npr)]
+        lig = (anchor + rng.normal(0, 1.5, (nl, 3))).astype(np.float32)
+        com = lig.mean(0)
+        keep = np.linalg.norm(prot - com, axis=-1) < pocket_radius
+        if keep.sum() < 5:
+            keep[:100] = True
+        input_xyz = prot[keep]
+        rdkit = (lig + rng.normal(0, 0.4, (nl, 3))).astype(np.float32)
+        init = rdkit - rdkit.mean(0, keepdims=True) + input_xyz.mean(
+            0, keepdims=True)
+        dm = np.linalg.norm(input_xyz[:, None] - lig[None], axis=-1)
+        dm = np.minimum(dm, 10.0)
+
+        bonds = []
+        for i in range(nl - 1):
+            bonds += [(i, i + 1), (i + 1, i)]
+        las = list(bonds)
+        for i in range(nl - 2):
+            las += [(i, i + 2), (i + 2, i)]
+
+        per["lig_feat"].append(rng.normal(0, 1, (nl, 56)).astype(np.float32))
+        per["lig_gt"].append(lig)
+        per["lig_init"].append(init.astype(np.float32))
+        per["rdkit"].append(rdkit)
+        per["prot_xyz"].append(prot)
+        per["esm"].append(rng.normal(0, 1, (npr, esm_dim)).astype(np.float32))
+        per["keep"].append(keep)
+        per["input_xyz"].append(input_xyz.astype(np.float32))
+        per["dis_map"].append(dm.astype(np.float32))
+        per["bond_local"].append(np.asarray(bonds, np.int64))
+        per["las_local"].append(np.asarray(las, np.int64))
+
+    # ---------------- torch side (collated reference layout) ----------------
+    T = torch.from_numpy
+
+    def cat(xs):
+        return torch.cat([T(np.ascontiguousarray(x)) for x in xs], 0)
+
+    def batch_vec(lengths):
+        return torch.cat([torch.full((n,), i, dtype=torch.long)
+                          for i, n in enumerate(lengths)])
+
+    comp = data["compound"]
+    comp.node_feats = cat(per["lig_feat"]).float()
+    comp.node_coords = cat(per["lig_init"])
+    comp.rdkit_coords = cat(per["rdkit"])
+    comp.batch = batch_vec([s["n_lig"] for s in specs])
+
+    pk = data["pocket"]
+    pk.node_feats = cat([e[k] for e, k in zip(per["esm"], per["keep"])])
+    pk.keepNode = cat([k.astype(bool) for k in per["keep"]])
+    pk.batch = batch_vec([int(k.sum()) for k in per["keep"]])
+
+    pw = data["protein_whole"]
+    pw.node_feats = cat(per["esm"]).float()
+    pw.batch = batch_vec([s["n_prot"] for s in specs])
+
+    cx = data["complex"]
+    cwp = data["complex_whole_protein"]
+    for store, pkt_list in ((cx, per["input_xyz"]), (cwp, per["prot_xyz"])):
+        coords, las_c, seg, mask, glb = [], [], [], [], []
+        c2c_r, c2c_c, lasr, lasc = [], [], [], []
+        off = 0
+        for b, s in enumerate(specs):
+            nl = s["n_lig"]
+            pkt = pkt_list[b]
+            npk = pkt.shape[0]
+            z = np.zeros((1, 3), np.float32)
+            lig_init = per["lig_init"][b]
+            if store is cwp:
+                lig_init = lig_init - lig_init.mean(0, keepdims=True)
+            coords.append(np.concatenate([z, lig_init, z, pkt]))
+            las_c.append(np.concatenate(
+                [z, per["rdkit"][b], z, np.zeros_like(pkt)]))
+            sg = np.zeros(nl + npk + 2)
+            sg[nl + 1:] = 1
+            seg.append(sg)
+            mk = np.zeros(nl + npk + 2, bool)
+            mk[:nl + 2] = True
+            mask.append(mk)
+            gl = np.zeros(nl + npk + 2, bool)
+            gl[0] = gl[nl + 1] = True
+            glb.append(gl)
+            for i, j in per["bond_local"][b]:
+                c2c_r.append(off + 1 + i)
+                c2c_c.append(off + 1 + j)
+            for i, j in per["las_local"][b]:
+                lasr.append(off + 1 + i)
+                lasc.append(off + 1 + j)
+            off += nl + npk + 2
+        store.node_coords = T(np.concatenate(coords)).float()
+        store.node_coords_LAS = T(np.concatenate(las_c)).float()
+        store.segment = T(np.concatenate(seg)).float()
+        store.mask = T(np.concatenate(mask))
+        store.is_global = T(np.concatenate(glb))
+        store.batch = batch_vec(
+            [s["n_lig"] + p.shape[0] + 2
+             for s, p in zip(specs, pkt_list)])
+        name = ("complex" if store is cx else "complex_whole_protein")
+        data[name, "c2c", name].edge_index = torch.tensor(
+            [c2c_r, c2c_c], dtype=torch.long)
+        data[name, "LAS", name].edge_index = torch.tensor(
+            [lasr, lasc], dtype=torch.long)
+
+    ael = data["compound_atom_edge_list"]
+    ael.x = cat([bl + 1 for bl in per["bond_local"]]).long()
+    ael.batch = batch_vec([len(bl) for bl in per["bond_local"]])
+    lel = data["LAS_edge_list"]
+    lel.x = cat([ll + 1 for ll in per["las_local"]]).long()
+    lel.batch = batch_vec([len(ll) for ll in per["las_local"]])
+
+    data.node_xyz = cat(per["input_xyz"])
+    data.node_xyz_whole = cat(per["prot_xyz"])
+    data.coords_center = torch.stack(
+        [T(g.mean(0)) for g in per["lig_gt"]])
+    data.dis_map = cat([d.flatten() for d in per["dis_map"]])
+    data.pocket_idx = cat([k.astype(np.int32) for k in per["keep"]])
+    data.coords = cat(per["lig_gt"])
+
+    # ---------------- flax side (padded dense FABindBatch fields) -----------
+    Npk = max(int(k.sum()) for k in per["keep"])
+    fl = dict(
+        lig_feat=np.zeros((B, Nc, 56), np.float32),
+        lig_mask=np.zeros((B, Nc), bool),
+        lig_coords=np.zeros((B, Nc, 3), np.float32),
+        lig_coords_init=np.zeros((B, Nc, 3), np.float32),
+        lig_rdkit_coords=np.zeros((B, Nc, 3), np.float32),
+        bond_idx=np.zeros((B, Nc, Kb), np.int32),
+        bond_mask=np.zeros((B, Nc, Kb), bool),
+        las_adj=np.zeros((B, Nc, Nc), bool),
+        prot_feat=np.zeros((B, Nr, esm_dim), np.float32),
+        prot_mask=np.zeros((B, Nr), bool),
+        prot_xyz=np.zeros((B, Nr, 3), np.float32),
+        pocket_idx=np.zeros((B, Npk), np.int32),
+        pocket_mask=np.zeros((B, Npk), bool),
+        pocket_label=np.zeros((B, Nr), np.float32),
+        coords_center=np.zeros((B, 3), np.float32),
+        ligand_radius=np.zeros((B,), np.float32),
+        pocket_residue_center=np.zeros((B, 3), np.float32),
+    )
+    for b, s in enumerate(specs):
+        nl, npr = s["n_lig"], s["n_prot"]
+        keep = per["keep"][b]
+        nk = int(keep.sum())
+        fl["lig_feat"][b, :nl] = per["lig_feat"][b]
+        fl["lig_mask"][b, :nl] = True
+        fl["lig_coords"][b, :nl] = per["lig_gt"][b]
+        fl["lig_coords_init"][b, :nl] = per["lig_init"][b]
+        fl["lig_rdkit_coords"][b, :nl] = per["rdkit"][b]
+        fl["prot_feat"][b, :npr] = per["esm"][b]
+        fl["prot_mask"][b, :npr] = True
+        fl["prot_xyz"][b, :npr] = per["prot_xyz"][b]
+        fl["pocket_idx"][b, :nk] = np.nonzero(keep)[0]
+        fl["pocket_mask"][b, :nk] = True
+        fl["pocket_label"][b, :npr] = keep.astype(np.float32)
+        fl["coords_center"][b] = per["lig_gt"][b].mean(0)
+        fl["ligand_radius"][b] = np.max(np.linalg.norm(
+            per["lig_gt"][b] - per["lig_gt"][b].mean(0), axis=-1))
+        fl["pocket_residue_center"][b] = per["input_xyz"][b].mean(0)
+        slots = np.zeros(nl, np.int32)
+        for i, j in per["bond_local"][b]:
+            fl["bond_idx"][b, i, slots[i]] = j
+            fl["bond_mask"][b, i, slots[i]] = True
+            slots[i] += 1
+        for i, j in per["las_local"][b]:
+            fl["las_adj"][b, i, j] = True
+    return data, fl, specs
 
 
 def split_flat(arr: np.ndarray, specs, part: str) -> list:
