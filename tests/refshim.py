@@ -368,11 +368,17 @@ class FakeData:
 
 
 def make_full_fixture(seed: int, specs, esm_dim: int = 15,
-                      pocket_radius: float = 8.0):
+                      pocket_radius: float = 8.0, dis_map_clamp: float = 10.0,
+                      pocket_radius_buffer: float | None = None,
+                      min_pocket_radius: float = 0.0):
     """Matched (torch FakeData, numpy padded dict) inputs for the full-model
     golden test, mirroring construct_data_from_graph_gvp_mean
     (FABind/fabind/utils/utils.py:202-442) in eval mode
     (pocket_center_rdkit init, no noise, no rotation, includeDisMap).
+
+    With pocket_radius_buffer set, uses the FABind+ dynamic host crop radius
+    (buffer + ligand_radius if buffer>2 else buffer*ligand_radius, floored at
+    min_pocket_radius; FABind_plus/fabind/utils/utils.py:214-228).
 
     specs: list of {"n_lig": int, "n_prot": int}.
     """
@@ -394,7 +400,15 @@ def make_full_fixture(seed: int, specs, esm_dim: int = 15,
         anchor = prot[rng.integers(npr)]
         lig = (anchor + rng.normal(0, 1.5, (nl, 3))).astype(np.float32)
         com = lig.mean(0)
-        keep = np.linalg.norm(prot - com, axis=-1) < pocket_radius
+        r = pocket_radius
+        if pocket_radius_buffer is not None:
+            lig_radius = float(np.max(np.linalg.norm(lig - com, axis=-1)))
+            if pocket_radius_buffer <= 2.0:
+                r = pocket_radius_buffer * lig_radius
+            else:
+                r = pocket_radius_buffer + lig_radius
+            r = max(r, min_pocket_radius)
+        keep = np.linalg.norm(prot - com, axis=-1) < r
         if keep.sum() < 5:
             keep[:100] = True
         input_xyz = prot[keep]
@@ -402,7 +416,7 @@ def make_full_fixture(seed: int, specs, esm_dim: int = 15,
         init = rdkit - rdkit.mean(0, keepdims=True) + input_xyz.mean(
             0, keepdims=True)
         dm = np.linalg.norm(input_xyz[:, None] - lig[None], axis=-1)
-        dm = np.minimum(dm, 10.0)
+        dm = np.minimum(dm, dis_map_clamp)
 
         bonds = []
         for i in range(nl - 1):
@@ -509,6 +523,11 @@ def make_full_fixture(seed: int, specs, esm_dim: int = 15,
     data.dis_map = cat([d.flatten() for d in per["dis_map"]])
     data.pocket_idx = cat([k.astype(np.int32) for k in per["keep"]])
     data.coords = cat(per["lig_gt"])
+    data.pocket_residue_center = torch.stack(
+        [T(x.mean(0)) for x in per["input_xyz"]])
+    data.ligand_radius = torch.tensor(
+        [float(np.max(np.linalg.norm(g - g.mean(0), axis=-1)))
+         for g in per["lig_gt"]])
 
     # ---------------- flax side (padded dense FABindBatch fields) -----------
     Npk = max(int(k.sum()) for k in per["keep"])

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import torch
 
-from refshim import (REF_BASE, base_args, load_ref_models, make_full_fixture)
+from refshim import (REF_BASE, REF_PLUS, base_args, plus_args,
+                     load_ref_models, make_full_fixture)
 
 from fabind_tpu.config import preset
 from fabind_tpu.data.types import FABindBatch
@@ -187,3 +188,151 @@ def test_golden_full_inference(setup):
         np.testing.assert_allclose(
             np.asarray(coords)[b, :nl], _per_sample(coords_ref, cb, b),
             atol=5e-4, err_msg=f"inference coords sample {b}")
+
+
+# ---------------------------------------------------------------- FABind+
+BUF, MINR = 2.5, 6.0
+
+
+def _torch_model_plus(n_layers=2, n_iter=2):
+    ref = load_ref_models(REF_PLUS)
+    args = plus_args(
+        coordinate_scale=5.0, stage_prob=0.5,
+        mean_layers=n_layers, n_iter=n_iter,
+        pocket_pred_layers=1, pocket_pred_n_iter=1,
+        inter_cutoff=10, intra_cutoff=8,
+        gs_tau=1.0, gs_hard=False, pocket_radius=20.0,
+        train_pred_pocket_noise=0.0,
+        pocket_radius_buffer=BUF, min_pocket_radius=MINR,
+        force_fix_radius=False, use_for_radius_pred="ligand",
+        dis_map_thres=15.0, geom_reg_steps=1,
+        confidence_training=False, stack_mlp=False, use_clustering=False)
+    torch.manual_seed(4)
+    m = ref.model.FABindPlus(args, embedding_channels=HID,
+                             pocket_pred_embedding_channels=HIDP)
+    m.eval()
+    return m
+
+
+def _flax_setup_plus(fl, n_layers=2, n_iter=2):
+    Nc = fl["lig_mask"].shape[1]
+    Npk = fl["pocket_mask"].shape[1]
+    Nr = fl["prot_mask"].shape[1]
+    cfg = preset(
+        "fabind_plus", hidden_size=HID, pocket_pred_hidden_size=HIDP,
+        mean_layers=n_layers, n_iter=n_iter, pocket_pred_layers=1,
+        pocket_pred_n_iter=1, pocket_radius=20.0,
+        pocket_radius_buffer=BUF, min_pocket_radius=MINR,
+        max_ligand=Nc, max_pocket=Npk, max_protein=Nr, bond_k=4,
+        ctx_k=Npk, ctx_k_whole=Nr)
+    batch = FABindBatch(**{k: jnp.asarray(v) for k, v in fl.items()})
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k}, batch, train=False,
+        stage=1))()
+    return cfg, model, batch, variables
+
+
+@pytest.fixture(scope="module")
+def setup_plus():
+    tm = _torch_model_plus()
+    mk = lambda: make_full_fixture(11, SPECS, esm_dim=1280,
+                                   dis_map_clamp=15.0,
+                                   pocket_radius_buffer=BUF,
+                                   min_pocket_radius=MINR)
+    _, fl, specs = mk()
+    cfg, model, batch, variables = _flax_setup_plus(fl)
+    params = _convert(tm, variables)
+    return tm, (lambda: mk()[0]), fl, specs, cfg, model, batch, params
+
+
+def test_golden_plus_forward_stage2(setup_plus):
+    tm, make_data, fl, specs, cfg, model, batch, params = setup_plus
+    data = make_data()
+    with torch.no_grad():
+        (coords_out, compound_batch, y_pred, y_by, cls_pred, cls_true,
+         prot_mask_w, prot_coords_w, pred_center, dis_map, less5,
+         radius_pred, center_bias) = tm(data, stage=2, train=False)
+
+    out = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, train=False, stage=2))(params, batch)
+
+    np.testing.assert_allclose(np.asarray(out.pred_pocket_center),
+                               pred_center.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.pocket_radius_pred),
+                               radius_pred.numpy()[:, 0], atol=1e-4)
+
+    # flax returns coords with the pocket-frame bias added back; the torch
+    # forward returns pocket-frame coords + the bias separately
+    cb = compound_batch.numpy()
+    coords_ref = coords_out.numpy()
+    bias = center_bias.numpy()
+    for b, s in enumerate(specs):
+        nl = s["n_lig"]
+        np.testing.assert_allclose(
+            np.asarray(out.coords)[b, :nl],
+            _per_sample(coords_ref, cb, b) + bias[b], atol=1e-3,
+            err_msg=f"plus stage2 coords sample {b}")
+
+    got_y, got_dm = [], []
+    pm = np.asarray(out.pair_valid)
+    for b in range(len(specs)):
+        nl = specs[b]["n_lig"]
+        npk = int(pm[b].any(axis=1).sum())
+        got_y.append(np.asarray(out.y_pred)[b, :npk, :nl].ravel())
+        got_dm.append(np.asarray(out.dis_map_target)[b, :npk, :nl].ravel())
+    np.testing.assert_allclose(np.concatenate(got_y), y_pred.numpy(),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.concatenate(got_dm), dis_map.numpy(),
+                               atol=2e-3)
+
+
+def test_golden_plus_forward_stage1(setup_plus):
+    tm, make_data, fl, specs, cfg, model, batch, params = setup_plus
+    data = make_data()
+    with torch.no_grad():
+        (coords_out, compound_batch, y_pred, y_by, cls_pred, cls_true,
+         *_rest, dis_map, less5, radius_pred, center_bias) = tm(
+             data, stage=1, train=False)
+
+    out = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, train=False, stage=1))(params, batch)
+
+    cb = compound_batch.numpy()
+    coords_ref = coords_out.numpy()
+    # stage-1 torch bias is zero (pocket-frame output); flax adds the
+    # pocket_residue_center back
+    prc = np.asarray(fl["pocket_residue_center"])
+    for b, s in enumerate(specs):
+        nl = s["n_lig"]
+        np.testing.assert_allclose(
+            np.asarray(out.coords)[b, :nl],
+            _per_sample(coords_ref, cb, b) + prc[b], atol=1e-3,
+            err_msg=f"plus stage1 coords sample {b}")
+    got_dm = []
+    pm = np.asarray(out.pair_valid)
+    for b in range(len(specs)):
+        nl = specs[b]["n_lig"]
+        npk = int(pm[b].any(axis=1).sum())
+        got_dm.append(np.asarray(out.dis_map_target)[b, :npk, :nl].ravel())
+    np.testing.assert_allclose(np.concatenate(got_dm), dis_map.numpy(),
+                               atol=2e-3)
+
+
+def test_golden_plus_inference(setup_plus):
+    tm, make_data, fl, specs, cfg, model, batch, params = setup_plus
+    data = make_data()
+    with torch.no_grad():
+        coords_out, compound_batch = tm.inference(data)
+
+    coords, conf = jax.jit(lambda p, b: model.apply(
+        {"params": p}, b, method="inference"))(params, batch)
+
+    cb = compound_batch.numpy()
+    coords_ref = coords_out.numpy()
+    for b, s in enumerate(specs):
+        nl = s["n_lig"]
+        np.testing.assert_allclose(
+            np.asarray(coords)[b, :nl], _per_sample(coords_ref, cb, b),
+            atol=1e-3, err_msg=f"plus inference coords sample {b}")
