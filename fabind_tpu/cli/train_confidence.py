@@ -1,0 +1,192 @@
+"""FABind+ confidence-model training driver.
+
+TPU-native counterpart of FABind_plus/fabind/train_confidence.py:21-287 +
+utils/training_confidence.py:13-349: load a regression checkpoint, freeze
+everything but the confidence head (ranking_*), run num_copies stochastic
+teacher-forced forwards per complex (dropout as the noise source, matching
+the reference's deep-copied batches under model.train()), train the pairwise
+ranking loss, and report ranking-accuracy / hit-rate per epoch.
+
+Where the reference is locked to batch_size=1 with num_copies host-side
+duplicates (train_confidence.py:218, confidence_dataloader.py:27-39), the
+copies here live on a device axis inside one jit — any batch size works.
+
+Usage:
+  python -m fabind_tpu.cli.train_confidence --data /path/to/pdbbind \
+      --init-ckpt runs/reg/ckpt [--torch-ckpt fabind_plus_best_ckpt.bin] \
+      --output runs/conf
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+
+def _merge_params(init, restored):
+    """Overlay restored leaves onto the init tree (torch load_state_dict
+    strict=False semantics, test_sampling_fabind.py:114): keys absent from
+    the checkpoint — the fresh confidence head — keep their init values."""
+    if isinstance(init, dict):
+        out = {}
+        for k, v in init.items():
+            if isinstance(restored, dict) and k in restored:
+                out[k] = _merge_params(v, restored[k])
+            else:
+                out[k] = v
+        return out
+    return restored if restored is not None else init
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--output", default="runs/confidence")
+    p.add_argument("--init-ckpt", default=None,
+                   help="orbax ckpt dir of a fabind_plus regression run")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="released torch state dict (fabind_plus_best_ckpt.bin)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-copies", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--ranking-loss", default=None,
+                   choices=[None, "logsigmoid", "dynamic_hinge"])
+    p.add_argument("--keep-cls-2A", action="store_true")
+    p.add_argument("--stack-mlp", action="store_true")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    args = p.parse_args(argv)
+
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource
+    from fabind_tpu.models.fabind import make_model
+    from fabind_tpu.train import checkpoints
+    from fabind_tpu.train.confidence import (build_confidence_optimizer,
+                                             make_confidence_train_step)
+    from fabind_tpu.utils.logging_utils import Logger
+
+    overrides = {"confidence_training": True}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                v = {"true": True, "false": False}.get(v.lower(), v)
+        overrides[k] = v
+    if args.epochs:
+        overrides["total_epochs"] = args.epochs
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.num_copies:
+        overrides["num_copies"] = args.num_copies
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.ranking_loss:
+        overrides["ranking_loss"] = args.ranking_loss
+    if args.keep_cls_2A:
+        overrides["keep_cls_2A"] = True
+    if args.stack_mlp:
+        overrides["stack_mlp"] = True
+    cfg = preset("fabind_plus", **overrides)
+
+    logger = Logger(args.output)
+    logger.log_message(f"devices: {jax.devices()}")
+
+    try:
+        source = PDBBindLMDBSource(args.data,
+                                   use_esm2_feat=cfg.model.use_esm2_feat)
+        splits = source.splits("fabind_plus")
+        # the reference trains confidence on train+valid groups
+        # (train_confidence.py:132-133)
+        train_idx = splits["train"] + splits.get("valid", [])
+    except Exception:
+        source = NPZSource(args.data)
+        train_idx = list(source.names)
+    logger.log_message(f"confidence train set: {len(train_idx)} complexes")
+
+    loader = Loader(source, train_idx, cfg, group="train",
+                    seed=cfg.train.seed)
+    first = next(loader.epoch(0))
+
+    model = make_model(cfg)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    variables = jax.jit(lambda: model.init(
+        {"params": key, "dropout": key, "sample": key}, first,
+        train=True))()
+    params = variables["params"]
+
+    if args.torch_ckpt:
+        from fabind_tpu.train.convert import convert_checkpoint
+        restored, report = convert_checkpoint(args.torch_ckpt, params)
+        # the released regression ckpt has no confidence params: missing
+        # entries keep their fresh init (strict=False load)
+        logger.log_message(
+            f"torch ckpt: {report['n_torch']} keys, "
+            f"{len(report['missing'])} fresh (confidence head), "
+            f"{len(report['unused'])} unused")
+        params = restored
+    elif args.init_ckpt:
+        # restore a regression TrainState's params (superset-safe): build the
+        # regression param template, then overlay onto the confidence init
+        reg_cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, confidence_training=False))
+        reg_model = make_model(reg_cfg)
+        reg_template = jax.jit(lambda: reg_model.init(
+            {"params": key, "dropout": key, "sample": key}, first,
+            train=True))()["params"]
+        from fabind_tpu.train.trainer import create_train_state
+        _, reg_state = create_train_state(reg_cfg, key, first)
+        restored = checkpoints.restore_state(args.init_ckpt, reg_state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.init_ckpt}")
+        params = _merge_params(params, restored.params)
+        logger.log_message(
+            f"initialized backbone from {args.init_ckpt} "
+            f"(step {int(restored.step)})")
+    else:
+        logger.log_message("WARNING: training confidence from scratch "
+                           "(no --init-ckpt/--torch-ckpt)")
+
+    tx = build_confidence_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step_fn = make_confidence_train_step(model, cfg, tx)
+
+    n_train = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    logger.log_message(f"params: {n_train/1e6:.2f}M "
+                       f"(confidence head trains, backbone frozen)")
+
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    step = 0
+    for epoch in range(cfg.train.total_epochs):
+        t0 = time.time()
+        acc = {}
+        n_batches = 0
+        for batch in loader.epoch(epoch):
+            rng, k = jax.random.split(rng)
+            params, opt_state, metrics = step_fn(params, opt_state, batch, k)
+            step += 1
+            n_batches += 1
+            for name, v in metrics.items():
+                acc[name] = acc.get(name, 0.0) + float(v)
+            if step % 50 == 0:
+                logger.log_metrics(metrics, step)
+        summary = {k: v / max(n_batches, 1) for k, v in acc.items()}
+        logger.log_metrics(summary, step, phase="epoch")
+        logger.log_message(
+            f"epoch {epoch}: loss={summary.get('confidence_loss', 0):.4f} "
+            f"ranking_acc={summary.get('ranking_accuracy', 0):.3f} "
+            f"hit_rate={summary.get('hit_rate', 0):.3f} "
+            f"({time.time()-t0:.1f}s)")
+        checkpoints.save_params(
+            f"{args.output}/ckpt/params_epoch{epoch}", jax.device_get(params))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,15 +76,27 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
                 keep_cls_2a=cfg.train.keep_cls_2A)
         losses = jax.vmap(per_complex, in_axes=(1, 1))(scores, rmsds)
         loss = jnp.mean(losses)
-        # ranking metrics (training_confidence.py:143-149)
+        # ranking metrics, reference-exact (training_confidence.py:49-79):
+        # pairwise accuracy = P(score_better > score_worse) over copy pairs
+        # ordered by RMSD; hit = the min-RMSD copy has strictly max score.
+        def pair_metrics(s, r):
+            order = jnp.argsort(r)
+            ss = s[order]
+            i = jnp.arange(n_copies)
+            upper = i[None, :] > i[:, None]            # j(better) < i(worse)
+            correct = (ss[:, None] > ss[None, :]) & upper  # [better, worse]
+            acc = jnp.sum(correct) / jnp.maximum(jnp.sum(upper), 1)
+            hit = ss[0] > jnp.max(ss[1:])
+            return acc, hit
+        accs, hits = jax.vmap(pair_metrics, in_axes=(1, 1))(scores, rmsds)
         best_by_score = jnp.argmax(scores, axis=0)      # [B]
         best_rmsd = jnp.min(rmsds, axis=0)
         chosen_rmsd = jnp.take_along_axis(
             rmsds, best_by_score[None], axis=0)[0]
         metrics = {
             "confidence_loss": loss,
-            "ranking_accuracy": jnp.mean(
-                (chosen_rmsd <= best_rmsd + 1e-6).astype(jnp.float32)),
+            "ranking_accuracy": jnp.mean(accs.astype(jnp.float32)),
+            "hit_rate": jnp.mean(hits.astype(jnp.float32)),
             "chosen_rmsd_lt2": jnp.mean((chosen_rmsd < 2).astype(jnp.float32)),
             "best_rmsd_lt2": jnp.mean((best_rmsd < 2).astype(jnp.float32)),
         }

@@ -113,3 +113,38 @@ def test_confidence_ranking_loss():
     good = confidence_ranking_loss(scores, rmsds)
     bad = confidence_ranking_loss(-scores, rmsds)
     assert float(good) < float(bad)
+
+
+def test_confidence_step_freezes_backbone():
+    """The confidence train step must update ONLY ranking_* params
+    (train_confidence.py:163-166) and report the reference's ranking
+    metrics (training_confidence.py:49-79)."""
+    from fabind_tpu.train.confidence import (build_confidence_optimizer,
+                                             make_confidence_train_step)
+    cfg = preset("fabind_plus", confidence_training=True, num_copies=3,
+                 **TINY)
+    batch = dummy_batch(cfg.shapes, batch_size=2, n_lig_valid=6,
+                        n_prot_valid=24)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    params = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k}, batch,
+        train=True))()["params"]
+    tx = build_confidence_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step = make_confidence_train_step(model, cfg, tx)
+    params2, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(1))
+
+    flat1 = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(params2)[0])
+    changed_backbone, changed_head = [], []
+    for path, a in flat1.items():
+        b = flat2[path]
+        top = path[0].key
+        if not np.allclose(np.asarray(a), np.asarray(b)):
+            (changed_head if top.startswith("ranking")
+             else changed_backbone).append(path)
+    assert not changed_backbone, changed_backbone[:3]
+    assert changed_head, "confidence head did not train"
+    assert 0.0 <= float(metrics["ranking_accuracy"]) <= 1.0
+    assert 0.0 <= float(metrics["hit_rate"]) <= 1.0
