@@ -2,16 +2,24 @@
 
 Counterpart of FABind/fabind/test_fabind.py:20-269 /
 FABind_plus/fabind/test_regression_fabind.py — without the hard-coded command
-string re-parsing: the preset IS the released config.
+string re-parsing: the preset IS the released config. Supports the
+144-complex unseen subset (test_fabind.py:225-231,261-268), optional
+post-optimization (fabind_inference.py:373), the FABind+ symmetric-RMSD
+protocol (utils/training.py:273-289), per-pdb RMSD dumps
+(training.py:394-401) and predicted-pose coordinate dumps (training.py:
+420-438; .npz here — SDF writing lives in fabind_tpu.cli.inference where the
+mol block is available).
 
 Usage:
   python -m fabind_tpu.cli.evaluate --preset fabind --data /path/pdbbind \
-      --ckpt best_model.bin [--split test] [--unseen-index path]
+      --ckpt best_model.bin [--split test] [--unseen-index split_pdb_id/unseen_test_index] \
+      [--post-optim] [--symmetric-rmsd] [--save-rmsd out.txt] [--write-coords-dir dir]
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -26,15 +34,28 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True,
                    help=".bin (torch, auto-converted) or orbax dir")
     p.add_argument("--split", default="test", choices=["valid", "test"])
+    p.add_argument("--unseen-index", default=None,
+                   help="file of pdb ids (one per line) to restrict the "
+                        "split to, e.g. FABind/split_pdb_id/unseen_test_index")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--stage", type=int, default=2)
-    p.add_argument("--post-optim", action="store_true")
+    p.add_argument("--post-optim", action="store_true",
+                   help="LAS-constraint pose refinement on the predictions")
+    p.add_argument("--post-optim-steps", type=int, default=1000)
+    p.add_argument("--symmetric-rmsd", action="store_true",
+                   help="symmetry-corrected RMSD over ligand automorphisms "
+                        "(FABind+ eval protocol)")
+    p.add_argument("--save-rmsd", default=None,
+                   help="write per-pdb RMSD lines here")
+    p.add_argument("--write-coords-dir", default=None,
+                   help="write predicted pose coords per pdb ({pdb}.npz)")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     args = p.parse_args(argv)
 
     from fabind_tpu.config import preset
     from fabind_tpu.data.dataset import Loader, PDBBindLMDBSource
     from fabind_tpu.models.fabind import make_model
+    from fabind_tpu.postopt import post_optimize_batch_jit
     from fabind_tpu.train.convert import convert_checkpoint
     from fabind_tpu.train import checkpoints
     from fabind_tpu.utils.metrics import MetricAccumulator
@@ -63,7 +84,17 @@ def main(argv=None):
 
     source = PDBBindLMDBSource(args.data, use_esm2_feat=cfg.model.use_esm2_feat)
     splits = source.splits(args.preset)
-    loader = Loader(source, splits[args.split], cfg, group=args.split,
+    indices = splits[args.split]
+    if args.unseen_index:
+        with open(args.unseen_index) as f:
+            wanted = {line.strip() for line in f if line.strip()}
+        pdb_col = source.index["pdb"] if "pdb" in source.index else \
+            source.index["compound_name"]
+        indices = [i for i in indices if str(pdb_col.iloc[i]) in wanted]
+        # the reference double-checks the selection (test_fabind.py:228-230)
+        assert all(str(pdb_col.iloc[i]) in wanted for i in indices)
+        print(f"unseen subset: {len(indices)} of {len(wanted)} ids present")
+    loader = Loader(source, indices, cfg, group=args.split,
                     batch_size=args.batch_size)
 
     @jax.jit
@@ -71,17 +102,33 @@ def main(argv=None):
         return model.apply({"params": params}, batch, train=False,
                            stage=args.stage)
 
-    acc = MetricAccumulator()
+    acc = MetricAccumulator(symmetric=args.symmetric_rmsd)
+    if args.write_coords_dir:
+        os.makedirs(args.write_coords_dir, exist_ok=True)
     t0 = time.time()
     n = 0
-    for batch in loader.epoch(0):
+    for batch, meta in loader.epoch(0, with_meta=True):
         out = eval_step(params, batch)
-        acc.update(jax.device_get(out), batch)
-        n += batch.batch_size
+        if args.post_optim:
+            coords, _ = post_optimize_batch_jit(
+                out.coords, batch.lig_rdkit_coords, batch.las_adj,
+                batch.lig_mask, steps=args.post_optim_steps)
+            out = out.replace(coords=coords)
+        out = jax.device_get(out)
+        acc.update(out, batch, pdbs=meta["pdb"])
+        if args.write_coords_dir:
+            lm = np.asarray(out.lig_mask)
+            for i, pdb in enumerate(meta["pdb"]):
+                nl = int(lm[i].sum())
+                np.savez(os.path.join(args.write_coords_dir, f"{pdb}.npz"),
+                         pred_coords=np.asarray(out.coords)[i, :nl])
+        n += meta["n_valid"]
     dt = time.time() - t0
     metrics = acc.summarize()
     metrics["complexes_per_sec"] = n / dt
     metrics["n_dropped_oversize"] = loader.n_dropped
+    if args.save_rmsd:
+        acc.dump_per_pdb(args.save_rmsd)
     print(json.dumps(metrics, indent=2))
     if args.out:
         with open(args.out, "w") as f:

@@ -1,0 +1,204 @@
+"""Preprocessing CLI: raw inputs -> the NPZ store consumed by NPZSource.
+
+Replaces the reference's 3-script preprocessing pipeline plus its offline
+tools with one command:
+
+- inference mode: an index CSV of (name, smiles, pdb_file) pairs ->
+  conformer generation + 56-d featurization + LAS mask + protein extraction
+  + ESM2 embeddings (reference inference_preprocess_mol_confs.py,
+  inference_preprocess_protein.py, FABind/README.md:95-125).
+- pdbbind mode: the reference's preprocessed LMDB dataset directory ->
+  NPZ store (so the portable format has a producer from the standard
+  distribution without RDKit).
+- esm mode: a FASTA-like txt or the protein LMDB -> ESM2 embeddings only
+  (reference tools/generate_esm2_t33.py:20-53).
+
+Isomorphism injection for the FABind+ permutation-invariant loss
+(tools/inject_isomorphism_to_data.py:30-47) runs automatically when
+--isomorphisms is set (networkx VF2 instead of graph-tool).
+
+Usage:
+  python -m fabind_tpu.cli.preprocess inference --index pairs.csv --out npz/
+  python -m fabind_tpu.cli.preprocess pdbbind --data /path/pdbbind --out npz/
+  python -m fabind_tpu.cli.preprocess esm --seqs seqs.txt --out esm/
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _mol_record(smiles: str, seed: int, num_conformers: int = 1):
+    """smiles -> conformer(s) + features (inference_preprocess_mol_confs.py:
+    26-40 get_mol_info)."""
+    from fabind_tpu.data.featurize import (featurize_mol,
+                                           generate_conformation, read_smiles)
+    mol = read_smiles(smiles)
+    recs = []
+    for c in range(num_conformers):
+        conf = generate_conformation(mol, seed=seed + c)
+        recs.append(featurize_mol(conf))
+    return recs
+
+
+def _maybe_isomorphisms(rec, max_iso: int):
+    from fabind_tpu.data.isomorphism import automorphisms_from_graph
+    feats = rec["feats"]
+    # node label = argmax of the atom-symbol block (first 18 dims), the
+    # TPU-side analogue of the reference's atomicnum-based labels
+    labels = feats[:, :18].argmax(axis=1)
+    return automorphisms_from_graph(
+        feats.shape[0], rec["bond_edges"], labels, max_iso=max_iso)
+
+
+def run_inference_mode(args):
+    from fabind_tpu.data.featurize import (extract_esm_feature,
+                                           extract_protein_structure)
+    os.makedirs(args.out, exist_ok=True)
+    with open(args.index) as f:
+        rows = list(csv.DictReader(f))
+    _log(f"{len(rows)} complexes")
+
+    if args.workers > 1:
+        from multiprocessing import Pool
+        with Pool(args.workers) as pool:
+            mol_recs = pool.starmap(
+                _mol_record,
+                [(r["smiles"], args.seed, args.num_conformers) for r in rows])
+    else:
+        mol_recs = [_mol_record(r["smiles"], args.seed, args.num_conformers)
+                    for r in rows]
+
+    protein_cache = {}
+    n_ok = 0
+    for row, recs in zip(rows, mol_recs):
+        try:
+            pdb_file = row["pdb_file"]
+            if pdb_file not in protein_cache:
+                st = extract_protein_structure(pdb_file)
+                esm = extract_esm_feature(st["seq"], device=args.esm_device)
+                protein_cache[pdb_file] = (st, esm)
+            st, esm = protein_cache[pdb_file]
+            for c, rec in enumerate(recs):
+                suffix = f"_conf{c}" if len(recs) > 1 else ""
+                out = {
+                    "protein_xyz": st["coords"][:, 1],     # CA
+                    "protein_full_coords": st["coords"],
+                    "esm_feat": esm,
+                    "lig_coords": rec["coords"],           # conformer (no GT)
+                    "lig_feats": rec["feats"],
+                    "bond_edges": rec["bond_edges"],
+                    "las_mask": rec["las_mask"],
+                    "rdkit_coords": rec["coords"],
+                    "smiles": np.asarray(rec["smiles"]),
+                    "seq": np.asarray(st["seq"]),
+                }
+                if args.isomorphisms:
+                    out["isomorphisms"] = _maybe_isomorphisms(
+                        rec, args.max_iso)
+                np.savez(os.path.join(args.out,
+                                      row["name"] + suffix + ".npz"), **out)
+            n_ok += 1
+        except Exception as e:  # skip-and-continue (reference
+            # fabind_inference.py:374-375 / dataset skips)
+            _log(f"SKIP {row.get('name')}: {type(e).__name__}: {e}")
+    _log(f"wrote {n_ok}/{len(rows)} complexes -> {args.out}")
+
+
+def run_pdbbind_mode(args):
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+    src = PDBBindLMDBSource(args.data, use_esm2_feat=True)
+    os.makedirs(args.out, exist_ok=True)
+    idxs = range(len(src.index)) if args.limit is None else \
+        range(min(args.limit, len(src.index)))
+    n_ok = 0
+    for i in idxs:
+        try:
+            raw = src.get(i)
+            name = str(raw.get("pdb", i))
+            if args.isomorphisms:
+                labels = raw["lig_feats"][:, :18].argmax(axis=1)
+                from fabind_tpu.data.isomorphism import automorphisms_from_graph
+                raw["isomorphisms"] = automorphisms_from_graph(
+                    raw["lig_feats"].shape[0], raw["bond_edges"], labels,
+                    max_iso=args.max_iso)
+            raw.pop("group", None)
+            np.savez(os.path.join(args.out, f"{name}.npz"),
+                     **{k: v for k, v in raw.items() if v is not None})
+            n_ok += 1
+        except Exception as e:
+            _log(f"SKIP {i}: {type(e).__name__}: {e}")
+    _log(f"wrote {n_ok} complexes -> {args.out}")
+
+
+def run_esm_mode(args):
+    """Batch ESM2 embedding tool (tools/generate_esm2_t33.py:20-53)."""
+    from fabind_tpu.data.featurize import extract_esm_feature
+    os.makedirs(args.out, exist_ok=True)
+    with open(args.seqs) as f:
+        entries = []
+        name = None
+        parts = []
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name:
+                    entries.append((name, "".join(parts)))
+                name, parts = line[1:], []
+            elif line:
+                parts.append(line)
+        if name:
+            entries.append((name, "".join(parts)))
+    for name, seq in entries:
+        emb = extract_esm_feature(seq, device=args.esm_device)
+        np.save(os.path.join(args.out, f"{name}.npy"), emb)
+        _log(f"{name}: {emb.shape}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    pi = sub.add_parser("inference")
+    pi.add_argument("--index", required=True,
+                    help="CSV with columns name,smiles,pdb_file")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--num-conformers", type=int, default=1)
+    pi.add_argument("--workers", type=int, default=1)
+    pi.add_argument("--seed", type=int, default=2024)
+    pi.add_argument("--esm-device", default="cpu")
+    pi.add_argument("--isomorphisms", action="store_true")
+    pi.add_argument("--max-iso", type=int, default=8)
+
+    pp = sub.add_parser("pdbbind")
+    pp.add_argument("--data", required=True,
+                    help="reference preprocessed PDBbind root")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--limit", type=int, default=None)
+    pp.add_argument("--isomorphisms", action="store_true")
+    pp.add_argument("--max-iso", type=int, default=8)
+
+    pe = sub.add_parser("esm")
+    pe.add_argument("--seqs", required=True, help="FASTA file")
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--esm-device", default="cpu")
+
+    args = p.parse_args(argv)
+    if args.mode == "inference":
+        run_inference_mode(args)
+    elif args.mode == "pdbbind":
+        run_pdbbind_mode(args)
+    else:
+        run_esm_mode(args)
+
+
+if __name__ == "__main__":
+    main()

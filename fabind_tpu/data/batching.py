@@ -94,12 +94,46 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
     pocket_xyz = protein_xyz[pocket_idx]
     pocket_center = pocket_xyz.mean(axis=0)
 
-    # ligand init (pocket_center_rdkit mode, utils.py:314-319);
-    # train group applies a uniform random rotation (data.py:63-68)
+    # train-time ligand torsion noise (utils/utils.py:280-299): randomize
+    # every rotatable torsion of the conformer before rotation/placement
     rk = rdkit_coords
-    if group == "train":
-        rk = uniform_random_rotation(rk, rng).astype(np.float32)
-    coords_init = rk - rk.mean(axis=0) + pocket_center
+    if t.train_ligand_torsion_noise and group == "train":
+        from fabind_tpu.data.torsion import randomize_torsions
+        rk = randomize_torsions(rk, np.asarray(raw["bond_edges"]), rng,
+                                bond_orders=raw.get("bond_orders"))
+
+    # ligand init modes (utils.py:302-325); released configs use
+    # pocket_center_rdkit. train group applies a uniform random rotation
+    # (data.py:63-68)
+    mode = m.compound_coords_init_mode
+    las_full = False
+    if mode == "pocket_center_rdkit":
+        if group == "train":
+            rk = uniform_random_rotation(rk, rng).astype(np.float32)
+        coords_init = rk - rk.mean(axis=0) + pocket_center
+    elif mode == "random":
+        coords_init = 4 * (2 * rng.rand(*coords.shape) - 1)
+        rk = rdkit_coords
+    elif mode.startswith("perturb_"):
+        amp = float(mode.split("_")[1].rstrip("A"))
+        coords_init = coords + amp * (2 * rng.rand(*coords.shape) - 1)
+        rk = rdkit_coords
+    elif mode == "compound_center":
+        coords_init = com[None] + 10 * (2 * rng.rand(*coords.shape) - 1)
+        rk = rdkit_coords
+    elif mode == "pocket_center":
+        coords_init = pocket_center[None] + 5 * (2 * rng.rand(*coords.shape) - 1)
+        rk = rdkit_coords
+    elif mode in ("redocking", "redocking_no_rotate"):
+        # LAS reference becomes the GT coords with a FULL constraint
+        # adjacency (utils.py:320-325, 356-358)
+        rot = (uniform_random_rotation(coords, rng)
+               if mode == "redocking" else coords)
+        coords_init = rot - rot.mean(axis=0) + pocket_center
+        rk = coords
+        las_full = True
+    else:
+        raise ValueError(f"unknown compound_coords_init_mode {mode!r}")
 
     # bond neighbor table
     bond_edges = np.asarray(raw["bond_edges"], np.int64).reshape(-1, 2)
@@ -110,6 +144,10 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
             nbrs[i].append(int(j))
     deg = max((len(v) for v in nbrs), default=0)
 
+    las_adj = np.asarray(raw["las_mask"], bool)
+    if las_full:
+        las_adj = ~np.eye(coords.shape[0], dtype=bool)
+
     return {
         "lig_feat": np.asarray(raw["lig_feats"], np.float32),
         "lig_coords": coords,
@@ -117,7 +155,7 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
         "lig_rdkit_coords": rk.astype(np.float32),
         "bond_nbrs": nbrs,
         "bond_deg": deg,
-        "las_adj": np.asarray(raw["las_mask"], bool),
+        "las_adj": las_adj,
         "prot_feat": np.asarray(raw["esm_feat"], np.float32),
         "prot_xyz": protein_xyz,
         "pocket_idx": pocket_idx,
@@ -131,10 +169,12 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
     }
 
 
-def collate(samples: Sequence[Dict], cfg: FABindConfig, max_iso: int = 8):
+def collate(samples: Sequence[Dict], cfg: FABindConfig, max_iso: int = 8,
+            n_valid: Optional[int] = None):
     """Pad + stack samples into a FABindBatch (numpy; call jax.device_put or
     shard_batch afterwards). Raises SampleTooLarge if a sample exceeds the
-    shape bucket."""
+    shape bucket. n_valid marks trailing rows beyond it as padding
+    duplicates (sample_valid=False)."""
     from fabind_tpu.data.types import FABindBatch
 
     s = cfg.shapes
@@ -208,4 +248,5 @@ def collate(samples: Sequence[Dict], cfg: FABindConfig, max_iso: int = 8):
     if not has_iso:
         out["isomorphisms"] = None
         out["iso_mask"] = None
+    out["sample_valid"] = (np.arange(B) < (B if n_valid is None else n_valid))
     return FABindBatch(**out)

@@ -138,13 +138,22 @@ class Loader:
     def __len__(self):
         return (len(self.indices) + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: int = 0) -> Iterator:
+    def epoch(self, epoch: int = 0, with_meta: bool = False) -> Iterator:
+        """Yields collated batches; with_meta=True yields (batch, meta) where
+        meta = {"pdb": [names of REAL rows], "n_valid": int}."""
         rng = np.random.RandomState(self.seed + epoch)
         order = list(self.indices)
         if self.group == "train":
             rng.shuffle(order)
         s_cfg = self.cfg.shapes
-        buf = []
+        buf, pdbs = [], []
+
+        def emit(n_real):
+            batch = collate(buf, self.cfg, n_valid=n_real)
+            if with_meta:
+                return batch, {"pdb": pdbs[:n_real], "n_valid": n_real}
+            return batch
+
         for idx in order:
             raw = self.source.get(idx)
             s = build_sample(raw, self.cfg, group=self.group, rng=rng,
@@ -155,14 +164,14 @@ class Loader:
                 self.n_dropped += 1
                 continue
             buf.append(s)
+            pdbs.append(str(raw.get("pdb", idx)))
             if len(buf) == self.batch_size:
-                yield collate(buf, self.cfg)
-                buf = []
+                yield emit(self.batch_size)
+                buf, pdbs = [], []
         if buf:
-            # pad the trailing batch to full size by repeating the last sample
-            # (masked metrics must use the true count)
+            # pad the trailing batch to full size by repeating the last
+            # sample; sample_valid marks the duplicates so metrics skip them
             n_real = len(buf)
             while len(buf) < self.batch_size:
                 buf.append(buf[-1])
-            batch = collate(buf, self.cfg)
-            yield batch
+            yield emit(n_real)

@@ -64,7 +64,8 @@ def _i64(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-def collate_native(samples: Sequence[dict], cfg, max_iso: int = 8):
+def collate_native(samples: Sequence[dict], cfg, max_iso: int = 8,
+                   n_valid: Optional[int] = None):
     """Native-packed equivalent of batching.collate."""
     from fabind_tpu.data.batching import SampleTooLarge
     from fabind_tpu.data.types import FABindBatch
@@ -145,6 +146,7 @@ def collate_native(samples: Sequence[dict], cfg, max_iso: int = 8):
         out[k] = out[k].astype(bool)
     out["isomorphisms"] = None
     out["iso_mask"] = None
+    out["sample_valid"] = (np.arange(B) < (B if n_valid is None else n_valid))
     return FABindBatch(**out)
 
 

@@ -47,6 +47,11 @@ class FABindBatch:
     isomorphisms: Optional[Array] = None   # [B, n_iso, Nc] int32
     iso_mask: Optional[Array] = None       # [B, n_iso] bool
 
+    # row validity: False for trailing-batch padding duplicates (the loader
+    # pads the last partial batch by repeating the final sample; metrics and
+    # artifact dumps must skip those rows). None means all rows are real.
+    sample_valid: Optional[Array] = None   # [B] bool
+
     @property
     def batch_size(self) -> int:
         return self.lig_feat.shape[0]

@@ -95,26 +95,47 @@ def symmetric_rmsd(pred: np.ndarray, true: np.ndarray,
 
 
 class MetricAccumulator:
-    """Streams per-batch outputs; summarizes at the end."""
+    """Streams per-batch outputs; summarizes at the end.
 
-    def __init__(self):
+    Rows whose batch.sample_valid is False (trailing-batch padding
+    duplicates) are excluded from every metric. With symmetric=True the
+    RMSD is symmetry-corrected over batch.isomorphisms (the FABind+ eval
+    protocol, FABind_plus/fabind/utils/training.py:273-289)."""
+
+    def __init__(self, symmetric: bool = False):
+        self.symmetric = symmetric
         self.rmsds = []
         self.centroids = []
         self.cls_ok = []
         self.centers_pred = []
         self.centers_true = []
+        self.per_pdb = []   # (pdb, rmsd) rows when update() receives pdbs
 
-    def update(self, out, batch):
-        pred = np.asarray(out.coords)
-        true = np.asarray(batch.lig_coords)
-        mask = np.asarray(out.lig_mask)
-        self.rmsds.append(ligand_rmsd(pred, true, mask))
+    def update(self, out, batch, pdbs=None):
+        valid = (np.asarray(batch.sample_valid)
+                 if batch.sample_valid is not None
+                 else np.ones(np.asarray(out.coords).shape[0], bool))
+        pred = np.asarray(out.coords)[valid]
+        true = np.asarray(batch.lig_coords)[valid]
+        mask = np.asarray(out.lig_mask)[valid]
+        rmsd = ligand_rmsd(pred, true, mask)
+        if self.symmetric and batch.isomorphisms is not None:
+            isos = np.asarray(batch.isomorphisms)[valid]
+            iso_m = np.asarray(batch.iso_mask)[valid]
+            for i in range(pred.shape[0]):
+                nl = int(mask[i].sum())
+                il = [isos[i, j, :nl] for j in range(isos.shape[1])
+                      if iso_m[i, j]]
+                rmsd[i] = symmetric_rmsd(pred[i, :nl], true[i, :nl], il)
+        self.rmsds.append(rmsd)
+        if pdbs is not None:
+            self.per_pdb.extend(zip(pdbs, rmsd.tolist()))
         self.centroids.append(centroid_distance(pred, true, mask))
-        self.centers_pred.append(np.asarray(out.pred_pocket_center))
-        self.centers_true.append(np.asarray(batch.coords_center))
-        logits = np.asarray(out.pocket_cls_logits)
-        labels = np.asarray(out.pocket_cls_label)
-        pm = np.asarray(out.prot_mask)
+        self.centers_pred.append(np.asarray(out.pred_pocket_center)[valid])
+        self.centers_true.append(np.asarray(batch.coords_center)[valid])
+        logits = np.asarray(out.pocket_cls_logits)[valid]
+        labels = np.asarray(out.pocket_cls_label)[valid]
+        pm = np.asarray(out.prot_mask)[valid]
         ok = (((1 / (1 + np.exp(-logits)) >= 0.5) == (labels > 0.5)) | ~pm
               ).all(-1)
         self.cls_ok.append(ok)
@@ -131,6 +152,13 @@ class MetricAccumulator:
             np.concatenate(self.centers_true)))
         res["n"] = int(rmsd.shape[0])
         return res
+
+    def dump_per_pdb(self, path: str) -> None:
+        """Per-pdb RMSD text dump (reference save_rmsd_dir,
+        FABind_plus/fabind/utils/training.py:394-401)."""
+        with open(path, "w") as f:
+            for pdb, r in self.per_pdb:
+                f.write(f"{pdb} {r:.6f}\n")
 
 
 def contact_cls_metrics(y_pred: np.ndarray, y_true: np.ndarray,

@@ -133,3 +133,128 @@ def test_post_optimize_recovers_conformer_geometry():
     err0 = np.abs(np.asarray(_pair_dist(jnp.asarray(pred))) - d_ref)[las].mean()
     err1 = np.abs(d_opt - d_ref)[las].mean()
     assert err1 < 0.2 * err0, (err0, err1)
+
+
+def test_trailing_batch_duplicates_masked():
+    """The loader marks trailing-batch padding rows invalid and the metric
+    accumulator must skip them (reference evaluates exact counts)."""
+    import numpy as np
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.batching import build_sample, collate
+    from fabind_tpu.utils.metrics import MetricAccumulator
+
+    cfg = preset("fabind", max_ligand=8, max_pocket=16, max_protein=32)
+    rng = np.random.RandomState(0)
+    raw = {
+        "protein_xyz": rng.randn(20, 3).astype(np.float32) * 5,
+        "esm_feat": rng.randn(20, 1280).astype(np.float32),
+        "lig_coords": rng.randn(5, 3).astype(np.float32),
+        "lig_feats": rng.randn(5, 56).astype(np.float32),
+        "bond_edges": np.array([[0, 1], [1, 0], [1, 2], [2, 1]]),
+        "las_mask": np.eye(5, k=1, dtype=bool) | np.eye(5, k=-1, dtype=bool),
+        "rdkit_coords": rng.randn(5, 3).astype(np.float32),
+    }
+    s = build_sample(raw, cfg, group="test")
+    batch = collate([s, s, s, s], cfg, n_valid=3)
+    assert batch.sample_valid.tolist() == [True, True, True, False]
+
+    class Out:
+        coords = np.asarray(batch.lig_coords)
+        lig_mask = np.asarray(batch.lig_mask)
+        pred_pocket_center = np.zeros((4, 3))
+        pocket_cls_logits = np.zeros((4, 32))
+        pocket_cls_label = np.asarray(batch.pocket_label)
+        prot_mask = np.asarray(batch.prot_mask)
+
+    acc = MetricAccumulator()
+    acc.update(Out(), batch, pdbs=["a", "b", "c"])
+    m = acc.summarize()
+    assert m["n"] == 3
+    assert len(acc.per_pdb) == 3
+
+
+def test_randomize_torsions_preserves_bonds_and_rings():
+    """Torsion noise must preserve all bond lengths and ring geometry while
+    changing dihedrals of rotatable (non-ring, non-terminal) bonds."""
+    import numpy as np
+    from fabind_tpu.data.torsion import randomize_torsions, rotatable_bonds
+
+    # butane-like chain 0-1-2-3-4 plus a 3-ring {5,6,7} hanging off atom 4
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5)]
+    edges = np.asarray(edges + [(j, i) for i, j in edges])
+    rng = np.random.RandomState(3)
+    coords = rng.randn(8, 3).astype(np.float32) * 2
+
+    rb = rotatable_bonds(8, edges)
+    assert (1, 2) in rb and (2, 3) in rb and (3, 4) in rb
+    assert (0, 1) not in rb          # terminal atom 0
+    assert (5, 6) not in rb and (6, 7) not in rb and (5, 7) not in rb  # ring
+
+    out = randomize_torsions(coords, edges, np.random.RandomState(7))
+    # bond lengths preserved
+    for i, j in edges:
+        d0 = np.linalg.norm(coords[i] - coords[j])
+        d1 = np.linalg.norm(out[i] - out[j])
+        np.testing.assert_allclose(d0, d1, rtol=1e-4)
+    # centered
+    np.testing.assert_allclose(out.mean(0), 0.0, atol=1e-4)
+    # something actually rotated
+    rel0 = coords - coords.mean(0)
+    assert not np.allclose(rel0, out, atol=1e-3)
+
+
+def test_redocking_init_mode():
+    import numpy as np
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.batching import build_sample
+
+    cfg = preset("fabind", max_ligand=8, max_pocket=16, max_protein=32,
+                 compound_coords_init_mode="redocking_no_rotate")
+    rng = np.random.RandomState(0)
+    raw = {
+        "protein_xyz": rng.randn(20, 3).astype(np.float32) * 5,
+        "esm_feat": rng.randn(20, 1280).astype(np.float32),
+        "lig_coords": rng.randn(5, 3).astype(np.float32),
+        "lig_feats": rng.randn(5, 56).astype(np.float32),
+        "bond_edges": np.array([[0, 1], [1, 0], [1, 2], [2, 1]]),
+        "las_mask": np.eye(5, k=1, dtype=bool) | np.eye(5, k=-1, dtype=bool),
+        "rdkit_coords": rng.randn(5, 3).astype(np.float32),
+    }
+    s = build_sample(raw, cfg, group="test")
+    # redocking: LAS reference = GT coords, full constraint adjacency
+    np.testing.assert_allclose(s["lig_rdkit_coords"], s["lig_coords"])
+    assert s["las_adj"].sum() == 5 * 4
+    # init = GT centered at pocket mean
+    np.testing.assert_allclose(
+        s["lig_coords_init"].mean(0),
+        s["prot_xyz"][s["pocket_idx"]].mean(0), atol=1e-5)
+
+
+def test_preprocess_esm_mode_and_iso(tmp_path, monkeypatch):
+    """preprocess CLI: FASTA parsing + ESM dump path (embedding stubbed) and
+    the isomorphism-injection helper."""
+    import numpy as np
+    from fabind_tpu.cli import preprocess as pp
+
+    fasta = tmp_path / "seqs.fasta"
+    fasta.write_text(">p1\nACDE\nFGH\n>p2\nKLM\n")
+    calls = []
+
+    def fake_esm(seq, device="cpu", **kw):
+        calls.append(seq)
+        return np.zeros((len(seq), 8), np.float32)
+
+    import fabind_tpu.data.featurize as fz
+    monkeypatch.setattr(fz, "extract_esm_feature", fake_esm)
+    out = tmp_path / "esm"
+    pp.main(["esm", "--seqs", str(fasta), "--out", str(out)])
+    assert calls == ["ACDEFGH", "KLM"]
+    assert np.load(out / "p1.npy").shape == (7, 8)
+    assert np.load(out / "p2.npy").shape == (3, 8)
+
+    # isomorphism helper: a symmetric path a-b-a has 2 automorphisms
+    rec = {"feats": np.eye(3, 56, dtype=np.float32)[[0, 1, 0]],
+           "bond_edges": np.array([[0, 1], [1, 0], [1, 2], [2, 1]])}
+    class A: max_iso = 4
+    isos = pp._maybe_isomorphisms(rec, 4)
+    assert len(isos) == 2
