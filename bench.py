@@ -4,16 +4,29 @@ Runs the full FABind base inference path (whole-protein pocket prediction ->
 predicted crop -> 8-recycle docking) on PDBbind-representative padded shapes,
 on whatever accelerator jax exposes (one TPU chip under the driver).
 
+Defaults to bf16 inference (the deployment configuration; golden-parity vs
+the fp32 torch reference is maintained separately in tests/test_golden_*).
+Env overrides: FABIND_BENCH_BATCH (default 8), FABIND_BENCH_BF16 (default 1).
+
 Baseline: the FABind paper reports ~0.1 s/complex on an A100-class GPU
 (BASELINE.md (b)); vs_baseline = complexes_per_sec / 10.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -21,12 +34,8 @@ def main():
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
 
-    import sys
-
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
-
-    batch_size = int(__import__("os").environ.get("FABIND_BENCH_BATCH", "8"))
+    batch_size = int(os.environ.get("FABIND_BENCH_BATCH", "8"))
+    use_bf16 = os.environ.get("FABIND_BENCH_BF16", "1") == "1"
     cfg = preset("fabind", max_ligand=96, max_pocket=160, max_protein=512,
                  n_iter=8)
     t = time.perf_counter()
@@ -53,6 +62,14 @@ def main():
     jax.block_until_ready(variables)
     log(f"init in {time.perf_counter()-t:.1f}s")
 
+    if use_bf16:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        variables = cast(variables)
+        batch = cast(batch)
+        jax.block_until_ready((variables, batch))
+
     @jax.jit
     def infer(params, batch):
         coords, _ = model.apply(params, batch, method="inference")
@@ -71,8 +88,9 @@ def main():
     dt = time.perf_counter() - t0
 
     cps = batch_size * iters / dt
+    tag = "bf16" if use_bf16 else "fp32"
     print(json.dumps({
-        "metric": "complexes/sec/chip (fabind base inference, b%d)" % batch_size,
+        "metric": f"complexes/sec/chip (fabind base inference, b{batch_size}, {tag})",
         "value": round(cps, 2),
         "unit": "complexes/s",
         "vs_baseline": round(cps / 10.0, 2),

@@ -72,6 +72,14 @@ class ModelConfig:
     explicit_pair_embed: bool = True
     add_cross_attn_layer: bool = True
     keep_trig_attn: bool = False
+    # EGNN ablation stacks (reference att_model.py:139-150): replace the
+    # interfacial attention layers with plain EGCLs over the inter edges,
+    # optionally keeping the cross-attention trio encoder
+    ablation_no_attention: bool = False
+    ablation_no_attention_with_cross_attn: bool = False
+    # FABind+ attention distance-pair bias (model_utils.py:109-146,270):
+    # "none" | "add" (pre-softmax) | "mul" (post-softmax)
+    rel_dis_pair_bias: str = "none"
     opm: bool = False
     fix_pocket: bool = False
     rm_F_norm: bool = False

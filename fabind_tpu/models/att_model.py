@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from fabind_tpu.config import ModelConfig
-from fabind_tpu.models.egnn import GraphInputs, MCAttEGNN
+from fabind_tpu.models.egnn import GraphInputs, MCAttEGNN, MCnoAttEGNN
 from fabind_tpu.models.layers import InteractionModule
 
 Array = jax.Array
@@ -37,8 +37,20 @@ class EfficientMCAttModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.gnn = MCAttEGNN(cfg, self.hidden_size, self.hidden_size,
-                             self.n_layers, name="gnn")
+        # EGNN variant selection (att_model.py:139-152): the released
+        # checkpoints all use MCAttEGNN; the no-attention ablations swap the
+        # interfacial attention layers for plain inter-edge EGCLs
+        if cfg.ablation_no_attention:
+            self.gnn = MCnoAttEGNN(cfg, self.hidden_size, self.hidden_size,
+                                   self.n_layers, with_cross_attn=False,
+                                   name="gnn")
+        elif cfg.ablation_no_attention_with_cross_attn:
+            self.gnn = MCnoAttEGNN(cfg, self.hidden_size, self.hidden_size,
+                                   self.n_layers, with_cross_attn=True,
+                                   name="gnn")
+        else:
+            self.gnn = MCAttEGNN(cfg, self.hidden_size, self.hidden_size,
+                                 self.n_layers, name="gnn")
         if cfg.explicit_pair_embed:
             # pair embedding built once per forward from the raw node
             # embeddings (att_model.py:198-208)

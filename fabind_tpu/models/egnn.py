@@ -95,6 +95,34 @@ def _norm_div(r_sq_sum: Array, cfg: ModelConfig) -> Array:
     return jnp.where(n == 0, 1.0, n)
 
 
+def _egcl_mlps(cfg: ModelConfig, hidden: int, edge_in: int):
+    """The MC_E_GCL MLP trio (egnn.py:40-87); shared by the ctx-graph EGCL
+    and the ablation variants' bipartite EGCL (identical torch param names)."""
+    if cfg.is_plus:
+        s = cfg.mlp_hidden_scale
+        edge_mlp = MLPBlock(s * edge_in, hidden, act="relu",
+                            use_ln=cfg.use_ln_mlp, last_act=True,
+                            dropout_rate=cfg.dropout, dropout_pos="both",
+                            name="edge_mlp")
+        node_in = 2 * hidden
+        node_mlp = MLPBlock(s * node_in, hidden, act="relu",
+                            use_ln=cfg.use_ln_mlp, last_act=True,
+                            dropout_rate=cfg.dropout, dropout_pos="both",
+                            name="node_mlp")
+        coord_mlp = MLPBlock(s * hidden, 1, act="relu",
+                             use_ln=cfg.use_ln_mlp, bias_out=False,
+                             dropout_rate=cfg.dropout, dropout_pos="inner",
+                             name="coord_mlp")
+    else:
+        edge_mlp = MLPBlock(hidden, hidden, act="silu",
+                            last_act=True, name="edge_mlp")
+        node_mlp = MLPBlock(hidden, hidden, act="silu",
+                            name="node_mlp")
+        coord_mlp = MLPBlock(hidden, 1, act="silu", bias_out=False,
+                             name="coord_mlp")
+    return edge_mlp, node_mlp, coord_mlp
+
+
 class EGCL(nn.Module):
     """Multi-channel E(n) conv layer on the ctx graph (egnn.py:20-144).
 
@@ -107,30 +135,7 @@ class EGCL(nn.Module):
     coord_max: float   # normalize_coord(10), egnn.py:378
 
     def _mlps(self, edge_in: int):
-        cfg = self.cfg
-        if cfg.is_plus:
-            s = cfg.mlp_hidden_scale
-            edge_mlp = MLPBlock(s * edge_in, self.hidden, act="relu",
-                                use_ln=cfg.use_ln_mlp, last_act=True,
-                                dropout_rate=cfg.dropout, dropout_pos="both",
-                                name="edge_mlp")
-            node_in = 2 * self.hidden
-            node_mlp = MLPBlock(s * node_in, self.hidden, act="relu",
-                                use_ln=cfg.use_ln_mlp, last_act=True,
-                                dropout_rate=cfg.dropout, dropout_pos="both",
-                                name="node_mlp")
-            coord_mlp = MLPBlock(s * self.hidden, 1, act="relu",
-                                 use_ln=cfg.use_ln_mlp, bias_out=False,
-                                 dropout_rate=cfg.dropout, dropout_pos="inner",
-                                 name="coord_mlp")
-        else:
-            edge_mlp = MLPBlock(self.hidden, self.hidden, act="silu",
-                                last_act=True, name="edge_mlp")
-            node_mlp = MLPBlock(self.hidden, self.hidden, act="silu",
-                                name="node_mlp")
-            coord_mlp = MLPBlock(self.hidden, 1, act="silu", bias_out=False,
-                                 name="coord_mlp")
-        return edge_mlp, node_mlp, coord_mlp
+        return _egcl_mlps(self.cfg, self.hidden, edge_in)
 
     @nn.compact
     def __call__(self, h: Array, x: Array, ctx: G.CtxGraph,
@@ -142,21 +147,32 @@ class EGCL(nn.Module):
         edge_mlp, node_mlp, coord_mlp = self._mlps(2 * C + 1)
         drop = nn.Dropout(cfg.dropout, name="dropout")
 
-        # ---- gather coordinates for all three edge groups, compute radials
-        x_nbr = G.gather_nodes(x, ctx.nbr_idx)                  # [B,N,K,3]
+        # The decomposed path gathers per-source data exactly once per edge
+        # group: coords are PACKED with the projected features so the gather
+        # rows are lane-aligned (a stand-alone [...,3] coord gather runs at
+        # ~2 GB/s on TPU — sub-lane rows defeat the memory system).
+        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
+        if decompose:
+            a, s_proj, w_r = _l1_edge_parts(edge_mlp, h)
+            packed = jnp.concatenate([x, s_proj], axis=-1)      # [B,N,3+H]
+        else:
+            packed = jnp.concatenate([x, h], axis=-1)           # [B,N,3+C]
+
+        g_n = G.gather_nodes_mm(packed, ctx.nbr_idx)            # [B,N,K,3+*]
+        x_nbr = g_n[..., :3]
         diff_n = x[:, :, None, :] - x_nbr
         r_n = jnp.sum(diff_n * diff_n, axis=-1)                 # [B,N,K]
         m_n = ctx.nbr_mask
 
-        x_gc = G.gather_nodes(x, jnp.broadcast_to(
+        g_c = G.gather_nodes(packed, jnp.broadcast_to(
             ctx.glbc_src[None], (x.shape[0],) + ctx.glbc_src.shape))
-        diff_c = x[:, layout.glb_c][:, None, :] - x_gc          # [B,Dc,3]
+        diff_c = x[:, layout.glb_c][:, None, :] - g_c[..., :3]  # [B,Dc,3]
         r_c = jnp.sum(diff_c * diff_c, axis=-1)
         m_c = ctx.glbc_src_mask
 
-        x_gp = G.gather_nodes(x, jnp.broadcast_to(
+        g_p = G.gather_nodes(packed, jnp.broadcast_to(
             ctx.glbp_src[None], (x.shape[0],) + ctx.glbp_src.shape))
-        diff_p = x[:, layout.glb_p][:, None, :] - x_gp
+        diff_p = x[:, layout.glb_p][:, None, :] - g_p[..., :3]
         r_p = jnp.sum(diff_p * diff_p, axis=-1)
         m_p = ctx.glbp_src_mask
 
@@ -173,12 +189,8 @@ class EGCL(nn.Module):
         # there is no LayerNorm on the concatenated input — this removes the
         # O(E * (2C+1) * H) edge matmul and the concat materialization, the
         # dominant HBM/FLOP cost of the ctx layer.
-        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
-
         if decompose:
-            a, s_proj, w_r = _l1_edge_parts(edge_mlp, h)
-
-            def messages(dst_idx_slice, s_src, radial, div_b, a_dst):
+            def messages(s_src, radial, div_b, a_dst):
                 pre = a_dst + s_src + (radial / div_b)[..., None] * w_r
                 m = edge_mlp.finish(pre, deterministic=deterministic)
                 if not cfg.is_plus:
@@ -186,23 +198,12 @@ class EGCL(nn.Module):
                 return m
 
             div_n = div[:, None, None]
-            s_nbr = G.gather_nodes(s_proj, ctx.nbr_idx)         # [B,N,K,H]
-            msg_n = messages(None, s_nbr, r_n, div_n, a[:, :, None, :])
-            s_gc = G.gather_nodes(s_proj, jnp.broadcast_to(
-                ctx.glbc_src[None], (h.shape[0],) + ctx.glbc_src.shape))
-            msg_c = messages(None, s_gc, r_c, div[:, None],
+            msg_n = messages(g_n[..., 3:], r_n, div_n, a[:, :, None, :])
+            msg_c = messages(g_c[..., 3:], r_c, div[:, None],
                              a[:, layout.glb_c][:, None, :])
-            s_gp = G.gather_nodes(s_proj, jnp.broadcast_to(
-                ctx.glbp_src[None], (h.shape[0],) + ctx.glbp_src.shape))
-            msg_p = messages(None, s_gp, r_p, div[:, None],
+            msg_p = messages(g_p[..., 3:], r_p, div[:, None],
                              a[:, layout.glb_p][:, None, :])
         else:
-            h_nbr = G.gather_nodes(h, ctx.nbr_idx)              # [B,N,K,C]
-            h_gc = G.gather_nodes(h, jnp.broadcast_to(
-                ctx.glbc_src[None], (h.shape[0],) + ctx.glbc_src.shape))
-            h_gp = G.gather_nodes(h, jnp.broadcast_to(
-                ctx.glbp_src[None], (h.shape[0],) + ctx.glbp_src.shape))
-
             def messages(h_dst, h_src, radial, div_b):
                 feat = jnp.concatenate(
                     [jnp.broadcast_to(h_dst[..., None, :], h_src.shape), h_src,
@@ -213,13 +214,15 @@ class EGCL(nn.Module):
                 return m
 
             div_n = div[:, None, None]
-            msg_n = messages(h, h_nbr, r_n, div_n)              # [B,N,K,C]
-            msg_c = messages(h[:, layout.glb_c], h_gc, r_c, div[:, None])
-            msg_p = messages(h[:, layout.glb_p], h_gp, r_p, div[:, None])
+            msg_n = messages(h, g_n[..., 3:], r_n, div_n)       # [B,N,K,C]
+            msg_c = messages(h[:, layout.glb_c], g_c[..., 3:], r_c,
+                             div[:, None])
+            msg_p = messages(h[:, layout.glb_p], g_p[..., 3:], r_p,
+                             div[:, None])
 
         # ---- coord update: segment-mean of diff * coord_mlp(m) (egnn.py:111-128)
         def coord_agg(msg, diff, mask):
-            w = coord_mlp(msg, deterministic=deterministic)     # [...,1]
+            w = coord_mlp.scalar_call(msg, deterministic=deterministic)[..., None]
             t = diff * w * mask[..., None].astype(diff.dtype)
             cnt = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
             return jnp.sum(t, axis=-2) / cnt.astype(diff.dtype)
@@ -363,10 +366,10 @@ class InterAttention(nn.Module):
             if decompose:
                 l1_v = coord_mlp.l1(v_node_s)                    # [B,Ns,H]
                 pre = l1_v[:, None, :, :] + r_ds[..., None] * u_r
-                phi = coord_mlp.finish(pre, deterministic=deterministic)[..., 0]
+                phi = coord_mlp.finish_scalar(pre, deterministic=deterministic)
             else:
                 v_edge = v_node_s[:, None, :, :] + r_ds[..., None] * v_r
-                phi = coord_mlp(v_edge, deterministic=deterministic)[..., 0]
+                phi = coord_mlp.scalar_call(v_edge, deterministic=deterministic)
             t = A * phi                                          # [B,Nd,Ns]
             dx = jnp.sum(t, axis=-1)[..., None] * x_d - jnp.einsum(
                 "bds,bsx->bdx", t, x_s)
@@ -459,6 +462,193 @@ class MCAttEGNN(nn.Module):
                 x_l = las_projection_step(
                     x[:, layout.lig_slice], gi.las_ref, gi.las_adj,
                     cfg.geometry_reg_step_size, las_clamp, steps=cfg.geom_reg_steps)
+                x = x.at[:, layout.lig_slice].set(x_l)
+
+        h, x_new = EGCL(cfg, self.hidden, coord_max, name="out_layer")(
+            h, x, ctx, gi, deterministic)
+        x = maybe_fix(x, x_new)
+        h = nn.Dropout(cfg.dropout, name="dropout_out")(h, deterministic=deterministic)
+        h = nn.Dense(self.out_dim, name="linear_out")(h)
+        return h, x, pair_embed
+
+
+class BipartiteEGCL(nn.Module):
+    """MC_E_GCL evaluated on the inter (att) edge set.
+
+    The reference's ablation stacks instantiate a plain MC_E_GCL for the
+    `att_{i}` slots and feed it `att_edges` (att_model.py:139-150,
+    egnn.py:515-524): messages flow ligand->pocket and pocket->ligand over
+    the dense bipartite adjacency; global tokens receive no messages but
+    still run the residual node MLP on a zero aggregate (torch
+    unsorted_segment_sum yields zeros for edge-free nodes, egnn.py:89-109).
+    Identical parameter structure to EGCL."""
+
+    cfg: ModelConfig
+    hidden: int
+    coord_max: float
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, adj: Array, gi: GraphInputs,
+                 deterministic: bool = True) -> Tuple[Array, Array]:
+        cfg = self.cfg
+        layout = gi.layout
+        C = h.shape[-1]
+        edge_mlp, node_mlp, coord_mlp = _egcl_mlps(cfg, self.hidden, 2 * C + 1)
+        drop = nn.Dropout(cfg.dropout, name="dropout")
+
+        x_l = x[:, layout.lig_slice]
+        x_p = x[:, layout.pkt_slice]
+        diff_lp = x_l[:, :, None, :] - x_p[:, None, :, :]       # [B,Nc,Np,3]
+        r = jnp.sum(diff_lp * diff_lp, axis=-1)                 # [B,Nc,Np]
+        # both edge directions share the radial -> factor 2 in the F-norm
+        div = _norm_div(2.0 * jnp.sum(jnp.where(adj, r * r, 0.0), axis=(1, 2)),
+                        cfg)
+        r_n = r / div[:, None, None]
+        adj_f = adj.astype(h.dtype)
+
+        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
+        if decompose:
+            a, s_proj, w_r = _l1_edge_parts(edge_mlp, h)
+
+            def messages(a_dst, s_src, radial):
+                m = edge_mlp.finish(a_dst + s_src + radial[..., None] * w_r,
+                                    deterministic=deterministic)
+                return m if cfg.is_plus else drop(m, deterministic=deterministic)
+
+            msg_l = messages(a[:, layout.lig_slice][:, :, None],
+                             s_proj[:, layout.pkt_slice][:, None],
+                             r_n)                               # [B,Nc,Np,H]
+            msg_p = messages(a[:, layout.pkt_slice][:, :, None],
+                             s_proj[:, layout.lig_slice][:, None],
+                             jnp.swapaxes(r_n, 1, 2))           # [B,Np,Nc,H]
+        else:
+            h_l = h[:, layout.lig_slice]
+            h_p = h[:, layout.pkt_slice]
+
+            def messages(h_dst, h_src, radial):
+                feat = jnp.concatenate([
+                    jnp.broadcast_to(h_dst[:, :, None, :],
+                                     radial.shape + (h_dst.shape[-1],)),
+                    jnp.broadcast_to(h_src[:, None, :, :],
+                                     radial.shape + (h_src.shape[-1],)),
+                    radial[..., None]], axis=-1)
+                m = edge_mlp(feat, deterministic=deterministic)
+                return m if cfg.is_plus else drop(m, deterministic=deterministic)
+
+            msg_l = messages(h_l, h_p, r_n)
+            msg_p = messages(h_p, h_l, jnp.swapaxes(r_n, 1, 2))
+
+        def coord_agg(msg, diff, mask):
+            w = coord_mlp.scalar_call(msg, deterministic=deterministic)[..., None]
+            t = diff * w * mask[..., None].astype(diff.dtype)
+            cnt = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1)
+            return jnp.sum(t, axis=-2) / cnt.astype(diff.dtype)
+
+        adj_t = jnp.swapaxes(adj, 1, 2)
+        dx = jnp.zeros_like(x)
+        dx = dx.at[:, layout.lig_slice].set(coord_agg(msg_l, diff_lp, adj))
+        dx = dx.at[:, layout.pkt_slice].set(
+            coord_agg(msg_p, -jnp.swapaxes(diff_lp, 1, 2), adj_t))
+        x_out = x + jnp.clip(dx, -self.coord_max, self.coord_max)
+
+        agg = jnp.zeros(h.shape[:-1] + (msg_l.shape[-1],), h.dtype)
+        agg = agg.at[:, layout.lig_slice].set(
+            jnp.einsum("bds,bdsc->bdc", adj_f, msg_l))
+        agg = agg.at[:, layout.pkt_slice].set(
+            jnp.einsum("bds,bdsc->bdc", jnp.swapaxes(adj_f, 1, 2), msg_p))
+        out = node_mlp(jnp.concatenate([h, agg], axis=-1),
+                       deterministic=deterministic)
+        if not cfg.is_plus:
+            out = drop(out, deterministic=deterministic)
+        return h + out, x_out
+
+
+class MCnoAttEGNN(nn.Module):
+    """Ablation stacks (reference MCnoAttEGNN egnn.py:469-586 and
+    MCnoAttwithCrossAttEGNN egnn.py:589-766): the `att_{i}` interfacial
+    attention layers are replaced by plain EGCLs over the inter edges;
+    `with_cross_attn=True` additionally runs the shared trio encoder
+    (cross-attention / interaction pair update, egnn.py:616-697) before each
+    inter layer. Neither is used by the released checkpoints."""
+
+    cfg: ModelConfig
+    hidden: int
+    out_dim: int
+    n_layers: int
+    with_cross_attn: bool = False
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array, gi: GraphInputs,
+                 pair_embed: Optional[Array], pair_mask: Optional[Array],
+                 intra_cutoff: float, inter_cutoff: float, ctx_k: int,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        layout = gi.layout
+        coord_max = cfg.normalize(10.0)
+        las_clamp = cfg.normalize(15.0)
+        movable = layout.movable()[None, :, None]
+
+        h = nn.Dense(self.hidden, name="linear_in")(h)
+        h = nn.Dropout(cfg.dropout, name="dropout")(h, deterministic=deterministic)
+
+        if self.with_cross_attn:
+            # ONE cross-attn module shared by every layer (egnn.py:607-609)
+            cross = CrossAttentionModule(
+                rm_layernorm=cfg.rm_layernorm, keep_trig_attn=cfg.keep_trig_attn,
+                dropout_rate=cfg.dropout, is_plus=cfg.is_plus,
+                mlp_hidden_scale=cfg.mlp_hidden_scale, use_ln_mlp=cfg.use_ln_mlp,
+                mha_heads=cfg.mha_heads, name="cross_attn_module")
+            inter_layer = InteractionModule(
+                self.hidden, self.hidden, opm=cfg.opm,
+                rm_layernorm=cfg.rm_layernorm, name="inter_layer")
+            # created (and trained) by the reference but its output is
+            # discarded in forward (egnn.py:718-722 `..., _ = trio_encoder`)
+            bias_proj = nn.Dense(1, name="attn_bias_proj")
+
+        def maybe_fix(x_old, x_new):
+            if cfg.fix_pocket:
+                return jnp.where(movable, x_new, x_old)
+            return x_new
+
+        for i in range(self.n_layers):
+            if i == 0:
+                ctx = G.build_ctx_graph(x, layout, gi.lig_mask, gi.pkt_mask,
+                                        gi.bond_idx, gi.bond_mask,
+                                        intra_cutoff, ctx_k)
+                adj = G.build_inter_graph(x, layout, gi.lig_mask, gi.pkt_mask,
+                                          inter_cutoff).adj
+            h, x_new = EGCL(cfg, self.hidden, coord_max, name=f"gcl_{i}")(
+                h, x, ctx, gi, deterministic)
+            x = maybe_fix(x, x_new)
+
+            if self.with_cross_attn:
+                c_side = h[:, layout.cside_slice]
+                p_side = h[:, layout.pside_slice]
+                ones = jnp.ones((h.shape[0], 1), bool)
+                c_mask_side = jnp.concatenate([ones, gi.lig_mask], axis=1)
+                p_mask_side = jnp.concatenate([ones, gi.pkt_mask], axis=1)
+                if cfg.add_cross_attn_layer:
+                    p_side, c_side, pair_embed = cross(
+                        p_side, p_mask_side, c_side, c_mask_side,
+                        pair_embed, pair_mask, deterministic=deterministic)
+                    h = layout.scatter_sides(c_side, p_side)
+                else:
+                    upd, _ = inter_layer(p_side, c_side, p_mask_side,
+                                         c_mask_side)
+                    pair_embed = (pair_embed + upd
+                                  if cfg.explicit_pair_embed else upd)
+                if i == 0 and pair_embed is not None:
+                    bias_proj(pair_embed)  # params only; output unused
+
+            h, x_new = BipartiteEGCL(cfg, self.hidden, coord_max,
+                                     name=f"att_{i}")(
+                h, x, adj, gi, deterministic)
+            x = maybe_fix(x, x_new)
+            if not cfg.rm_LAS_constrained_optim and not cfg.only_last_LAS:
+                x_l = las_projection_step(
+                    x[:, layout.lig_slice], gi.las_ref, gi.las_adj,
+                    cfg.geometry_reg_step_size, las_clamp,
+                    steps=cfg.geom_reg_steps)
                 x = x.at[:, layout.lig_slice].set(x_l)
 
         h, x_new = EGCL(cfg, self.hidden, coord_max, name="out_layer")(

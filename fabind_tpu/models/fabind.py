@@ -48,6 +48,7 @@ class FABindOutput:
     use_stage2: Array          # scalar bool (which branch fed the docking model)
     keep_less_5: Array         # [B] bool (predicted crop had <5 residues)
     pocket_overflow: Array     # [B] residues dropped by the Np bucket
+    ctx_overflow: Array        # [B] radius edges dropped by the ctx top-K table
     pocket_radius_pred: Array  # [B] (FABind+; zeros for base)
     confidence: Array          # [B] (FABind+ confidence head; zeros otherwise)
 
@@ -248,7 +249,8 @@ class FABind(nn.Module):
 
         out = self._dock(batch, compound_out, protein_out, pkt_idx, pkt_mask,
                          use_stage2, det)
-        (coords_out, y_pred, y_by_coord, dis_map, pair_valid, confidence) = out
+        (coords_out, y_pred, y_by_coord, dis_map, pair_valid, confidence,
+         ctx_overflow) = out
 
         return FABindOutput(
             coords=coords_out,
@@ -264,6 +266,7 @@ class FABind(nn.Module):
             use_stage2=use_stage2,
             keep_less_5=keep_less_5,
             pocket_overflow=overflow,
+            ctx_overflow=ctx_overflow,
             pocket_radius_pred=radius_pred,
             confidence=confidence,
         )
@@ -319,6 +322,9 @@ class FABind(nn.Module):
             bond_idx=batch.bond_idx, bond_mask=batch.bond_mask,
             las_adj=batch.las_adj,
             las_ref=cfg.normalize(batch.lig_rdkit_coords))
+        ctx_overflow = G.ctx_overflow_count(
+            x, gi.layout, pkt_mask, cfg.normalize(cfg.intra_cutoff),
+            self.shapes.ctx_k)
 
         x_out, h_out, pair_out = self.complex_model(x, h, gi,
                                                     deterministic=det)
@@ -375,7 +381,8 @@ class FABind(nn.Module):
                     self.ranking_mlp_pre(pooled, deterministic=det))
             confidence = self.ranking_score_mlp(pooled, deterministic=det)[..., 0]
 
-        return coords_out, y_pred, y_by_coord, dis_map, pair_valid, confidence
+        return (coords_out, y_pred, y_by_coord, dis_map, pair_valid,
+                confidence, ctx_overflow)
 
     # ------------------------------------------------------------- inference
     def inference(self, batch, center_override: Optional[Array] = None,
@@ -395,7 +402,7 @@ class FABind(nn.Module):
             center = center_override
         radius = self._crop_radius(radius_pred, batch.batch_size)
         idx, mask, _, _ = self._predicted_crop(center, radius, batch)
-        coords, _, _, _, _, confidence = self._dock(
+        coords, _, _, _, _, confidence, _ = self._dock(
             batch, compound_out, protein_out, idx, mask,
             jnp.asarray(True), deterministic)
         return coords, confidence

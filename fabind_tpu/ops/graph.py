@@ -229,6 +229,27 @@ def build_ctx_graph(
                     glbp_src, glbp_src_mask)
 
 
+def ctx_overflow_count(
+    x: Array,
+    layout: ComplexLayout,
+    pkt_mask: Array,
+    intra_cutoff: float,
+    k_radius: int,
+) -> Array:
+    """Per-sample count of radius neighbors silently dropped by the top-K
+    ctx table (the reference keeps EXACT radius edges, att_model.py:69-96;
+    surfacing this mirrors the pocket_overflow counter so truncation is
+    observable instead of silent)."""
+    pkt_x = x[:, layout.pkt_slice]
+    d2 = _pairwise_sq_dist(pkt_x, pkt_x)
+    eye = jnp.eye(pkt_x.shape[1], dtype=bool)
+    within = (pkt_mask[:, :, None] & pkt_mask[:, None, :] & ~eye
+              & (d2 <= intra_cutoff * intra_cutoff))
+    deg = jnp.sum(within, axis=-1)
+    k_radius = min(k_radius, pkt_x.shape[1] - 1)
+    return jnp.sum(jnp.maximum(deg - k_radius, 0), axis=-1)
+
+
 def build_inter_graph(
     x: Array,
     layout: ComplexLayout,
@@ -258,6 +279,25 @@ def gather_nodes(v: Array, idx: Array) -> Array:
     v: [B, N, ...feat]; idx: [B, *I] -> [B, *I, ...feat].
     """
     return jax.vmap(lambda vb, ib: vb[ib])(v, idx)
+
+
+def gather_nodes_mm(v: Array, idx: Array) -> Array:
+    """Neighbor-table gather as a one-hot matmul.
+
+    TPU random-access gathers run far below memory bandwidth (profiled at
+    ~0.5 ms for a [8*258*33, 512] gather); expressing the same gather as
+    onehot[B, I, N] @ v[B, N, C] puts it on the MXU instead. Only worthwhile
+    for large feature rows gathered from small node sets (N ≤ a few hundred).
+
+    v: [B, N, C]; idx: [B, I1, I2] int32 -> [B, I1, I2, C].
+    """
+    B, N, C = v.shape
+    I1, I2 = idx.shape[1], idx.shape[2]
+    flat = idx.reshape(B, I1 * I2)
+    onehot = (flat[:, :, None] == jnp.arange(N, dtype=idx.dtype)[None, None, :]
+              ).astype(v.dtype)
+    out = jnp.einsum("bin,bnc->bic", onehot, v)
+    return out.reshape(B, I1, I2, C)
 
 
 def compact_keep_mask(keep: Array, n_slots: int):
