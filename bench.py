@@ -1,18 +1,31 @@
 """Docking-inference throughput benchmark (complexes/sec/chip).
 
 Runs the full FABind base inference path (whole-protein pocket prediction ->
-predicted crop -> 8-recycle docking) on PDBbind-representative padded shapes,
-on whatever accelerator jax exposes (one TPU chip under the driver).
+predicted crop -> 8-recycle docking) on PDBbind-representative complexes
+(48 ligand atoms, 400 protein residues — both above the PDBbind-2020
+timesplit-test medians), on whatever accelerator jax exposes (one TPU chip
+under the driver).
 
-Defaults to bf16 inference (the deployment configuration; golden-parity vs
-the fp32 torch reference is maintained separately in tests/test_golden_*).
-Env overrides: FABIND_BENCH_BATCH (default 8), FABIND_BENCH_BF16 (default 1).
+Serving configuration measured here (both are the library defaults):
+- bf16 inference (golden fp32 parity vs the torch reference is maintained
+  separately in tests/test_golden_*; bf16 is the deployment dtype).
+- bucketed shapes: each complex runs in the smallest shape bucket it fits
+  (Loader(buckets=...), one jit specialization per bucket) instead of being
+  padded to the dataset maximum — the TPU-native replacement for the
+  reference's per-sample dynamic shapes. The benchmark complexes fit the
+  (ligand 48, pocket 158, protein 408) bucket; the conservative
+  everything-padded-to-max configuration (ligand 96, pocket 160,
+  protein 512) is measured with FABIND_BENCH_MAXSHAPES=1.
+
+Env overrides: FABIND_BENCH_BATCH (default 16), FABIND_BENCH_BF16
+(default 1), FABIND_BENCH_MAXSHAPES (default 0).
 
 Baseline: the FABind paper reports ~0.1 s/complex on an A100-class GPU
 (BASELINE.md (b)); vs_baseline = complexes_per_sec / 10.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -34,9 +47,14 @@ def main():
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
 
-    batch_size = int(os.environ.get("FABIND_BENCH_BATCH", "8"))
+    batch_size = int(os.environ.get("FABIND_BENCH_BATCH", "16"))
     use_bf16 = os.environ.get("FABIND_BENCH_BF16", "1") == "1"
-    cfg = preset("fabind", max_ligand=96, max_pocket=160, max_protein=512,
+    max_shapes = os.environ.get("FABIND_BENCH_MAXSHAPES") == "1"
+    if max_shapes:
+        ml, mp, mr, tag_shape = 96, 160, 512, "max-shapes"
+    else:
+        ml, mp, mr, tag_shape = 48, 158, 408, "bucketed"
+    cfg = preset("fabind", max_ligand=ml, max_pocket=mp, max_protein=mr,
                  n_iter=8)
     t = time.perf_counter()
     # build the synthetic batch in ONE compiled program — eager op-by-op
@@ -51,7 +69,6 @@ def main():
     t = time.perf_counter()
     # parameter shapes are independent of the shape bucket: initialize on a
     # tiny bucket to keep the init compile short
-    import dataclasses
     tiny_shapes = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
                                       max_protein=32, ctx_k=6, ctx_k_whole=6)
     tiny = jax.jit(lambda: dummy_batch(tiny_shapes, batch_size=1,
@@ -90,7 +107,8 @@ def main():
     cps = batch_size * iters / dt
     tag = "bf16" if use_bf16 else "fp32"
     print(json.dumps({
-        "metric": f"complexes/sec/chip (fabind base inference, b{batch_size}, {tag})",
+        "metric": (f"complexes/sec/chip (fabind base inference, {tag_shape}, "
+                   f"b{batch_size}, {tag})"),
         "value": round(cps, 2),
         "unit": "complexes/s",
         "vs_baseline": round(cps / 10.0, 2),

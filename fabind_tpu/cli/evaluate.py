@@ -49,6 +49,11 @@ def main(argv=None):
                    help="write per-pdb RMSD lines here")
     p.add_argument("--write-coords-dir", default=None,
                    help="write predicted pose coords per pdb ({pdb}.npz)")
+    p.add_argument("--buckets", default=None,
+                   help="comma list of shape buckets 'lig:pocket:protein' "
+                        "(small->large); each complex runs in the smallest "
+                        "bucket it fits — one jit specialization per bucket "
+                        "instead of padding everything to the maximum")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     args = p.parse_args(argv)
 
@@ -94,13 +99,28 @@ def main(argv=None):
         # the reference double-checks the selection (test_fabind.py:228-230)
         assert all(str(pdb_col.iloc[i]) in wanted for i in indices)
         print(f"unseen subset: {len(indices)} of {len(wanted)} ids present")
+    buckets = None
+    if args.buckets:
+        import dataclasses
+        buckets = []
+        for spec in args.buckets.split(","):
+            ml, mp, mr = (int(v) for v in spec.split(":"))
+            buckets.append(dataclasses.replace(
+                cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
     loader = Loader(source, indices, cfg, group=args.split,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size, buckets=buckets)
 
-    @jax.jit
-    def eval_step(params, batch):
-        return model.apply({"params": params}, batch, train=False,
-                           stage=args.stage)
+    # one model + jitted step per shape bucket (params are shape-independent)
+    steps = {}
+
+    def eval_step(params, batch, bucket_cfg):
+        key = id(bucket_cfg)
+        if key not in steps:
+            m = make_model(bucket_cfg)
+            steps[key] = jax.jit(
+                lambda p, b: m.apply({"params": p}, b, train=False,
+                                     stage=args.stage))
+        return steps[key](params, batch)
 
     acc = MetricAccumulator(symmetric=args.symmetric_rmsd)
     if args.write_coords_dir:
@@ -108,7 +128,7 @@ def main(argv=None):
     t0 = time.time()
     n = 0
     for batch, meta in loader.epoch(0, with_meta=True):
-        out = eval_step(params, batch)
+        out = eval_step(params, batch, meta["cfg"])
         if args.post_optim:
             coords, _ = post_optimize_batch_jit(
                 out.coords, batch.lig_rdkit_coords, batch.las_adj,

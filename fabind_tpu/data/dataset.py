@@ -121,11 +121,19 @@ class PDBBindLMDBSource:
 
 
 class Loader:
-    """Host-side batching loop with size filtering + deterministic shuffling."""
+    """Host-side batching loop with size filtering + deterministic shuffling.
+
+    With `buckets` (a small->large list of ShapeConfig, largest = the drop
+    boundary) each sample is routed to the smallest bucket it fits and
+    batches are emitted per bucket — the TPU-native answer to the
+    reference's per-sample dynamic shapes: one jit specialization per
+    bucket instead of padding every complex to the dataset maximum.
+    """
 
     def __init__(self, source, indices: Sequence, cfg: FABindConfig,
                  group: str = "train", batch_size: Optional[int] = None,
-                 seed: int = 0, drop_oversize: bool = True):
+                 seed: int = 0, drop_oversize: bool = True,
+                 buckets: Optional[Sequence] = None):
         self.source = source
         self.indices = list(indices)
         self.cfg = cfg
@@ -134,44 +142,77 @@ class Loader:
         self.seed = seed
         self.drop_oversize = drop_oversize
         self.n_dropped = 0
+        if buckets:
+            import dataclasses
+            bs = sorted(buckets, key=lambda s: (s.max_ligand, s.max_pocket,
+                                                s.max_protein))
+            last = bs[-1]
+            assert (last.max_ligand >= cfg.shapes.max_ligand
+                    and last.max_protein >= cfg.shapes.max_protein), \
+                "largest bucket must cover cfg.shapes"
+            self.bucket_cfgs = [dataclasses.replace(cfg, shapes=s)
+                                for s in bs]
+        else:
+            self.bucket_cfgs = [cfg]
 
     def __len__(self):
         return (len(self.indices) + self.batch_size - 1) // self.batch_size
 
+    def _route(self, s) -> Optional[FABindConfig]:
+        """Smallest bucket the sample fits (None -> oversize).
+
+        The pocket-size constraint only picks between buckets: the largest
+        bucket accepts any pocket (the Np crop truncates with the
+        pocket_overflow counter, exactly the pre-bucket behavior)."""
+        n_lig = s["lig_feat"].shape[0]
+        n_prot = s["prot_xyz"].shape[0]
+        n_pkt = len(s["pocket_idx"])
+        for i, c in enumerate(self.bucket_cfgs):
+            sc = c.shapes
+            last = i == len(self.bucket_cfgs) - 1
+            if (n_lig <= sc.max_ligand and n_prot <= sc.max_protein
+                    and (last or n_pkt <= sc.max_pocket)
+                    and s["bond_deg"] <= sc.bond_k):
+                return c
+        return None
+
     def epoch(self, epoch: int = 0, with_meta: bool = False) -> Iterator:
         """Yields collated batches; with_meta=True yields (batch, meta) where
-        meta = {"pdb": [names of REAL rows], "n_valid": int}."""
+        meta = {"pdb": [names of REAL rows], "n_valid": int,
+        "cfg": the bucket's FABindConfig}."""
         rng = np.random.RandomState(self.seed + epoch)
         order = list(self.indices)
         if self.group == "train":
             rng.shuffle(order)
-        s_cfg = self.cfg.shapes
-        buf, pdbs = [], []
+        bufs = {id(c): ([], [], c) for c in self.bucket_cfgs}
 
-        def emit(n_real):
-            batch = collate(buf, self.cfg, n_valid=n_real)
+        def emit(buf, pdbs, cfg_b, n_real):
+            batch = collate(buf, cfg_b, n_valid=n_real)
             if with_meta:
-                return batch, {"pdb": pdbs[:n_real], "n_valid": n_real}
+                return batch, {"pdb": pdbs[:n_real], "n_valid": n_real,
+                               "cfg": cfg_b}
             return batch
 
         for idx in order:
             raw = self.source.get(idx)
             s = build_sample(raw, self.cfg, group=self.group, rng=rng,
                              isomorphisms=raw.get("isomorphisms"))
-            if (s["lig_feat"].shape[0] > s_cfg.max_ligand
-                    or s["prot_xyz"].shape[0] > s_cfg.max_protein
-                    or s["bond_deg"] > s_cfg.bond_k):
+            cfg_b = self._route(s)
+            if cfg_b is None:
                 self.n_dropped += 1
                 continue
+            buf, pdbs, _ = bufs[id(cfg_b)]
             buf.append(s)
             pdbs.append(str(raw.get("pdb", idx)))
             if len(buf) == self.batch_size:
-                yield emit(self.batch_size)
-                buf, pdbs = [], []
-        if buf:
+                yield emit(buf, pdbs, cfg_b, self.batch_size)
+                bufs[id(cfg_b)] = ([], [], cfg_b)
+        for buf, pdbs, cfg_b in bufs.values():
+            if not buf:
+                continue
             # pad the trailing batch to full size by repeating the last
             # sample; sample_valid marks the duplicates so metrics skip them
             n_real = len(buf)
             while len(buf) < self.batch_size:
                 buf.append(buf[-1])
-            yield emit(n_real)
+            yield emit(buf, pdbs, cfg_b, n_real)

@@ -258,3 +258,55 @@ def test_preprocess_esm_mode_and_iso(tmp_path, monkeypatch):
     class A: max_iso = 4
     isos = pp._maybe_isomorphisms(rec, 4)
     assert len(isos) == 2
+
+
+def test_bucketed_loader_routes_by_size():
+    """Samples land in the smallest bucket they fit; batch shapes follow the
+    bucket; counts are preserved and trailing flushes are marked."""
+    import dataclasses
+    import numpy as np
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader
+
+    cfg = preset("fabind", max_ligand=24, max_pocket=32, max_protein=64,
+                 ctx_k=8, ctx_k_whole=8)
+    small = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
+                                max_protein=32)
+    rng = np.random.RandomState(0)
+
+    def raw(n_lig, n_prot, name):
+        edges = [[i, i + 1] for i in range(n_lig - 1)]
+        edges = np.asarray(edges + [[j, i] for i, j in edges])
+        # 10 residues near the ligand, the rest far away -> pocket size 10
+        prot = rng.randn(n_prot, 3).astype(np.float32) * 2
+        prot[10:] += 1000.0
+        return {
+            "protein_xyz": prot,
+            "esm_feat": rng.randn(n_prot, 1280).astype(np.float32),
+            "lig_coords": rng.randn(n_lig, 3).astype(np.float32),
+            "lig_feats": rng.randn(n_lig, 56).astype(np.float32),
+            "bond_edges": edges,
+            "las_mask": np.eye(n_lig, k=1, dtype=bool) | np.eye(n_lig, k=-1,
+                                                                dtype=bool),
+            "rdkit_coords": rng.randn(n_lig, 3).astype(np.float32),
+            "pdb": name,
+        }
+
+    class Src:
+        samples = ([raw(5, 20, f"s{i}") for i in range(5)]
+                   + [raw(20, 60, f"L{i}") for i in range(3)])
+        def get(self, idx):
+            return self.samples[idx]
+
+    loader = Loader(Src(), range(8), cfg, group="test", batch_size=2,
+                    buckets=[small, cfg.shapes])
+    seen = {}
+    for batch, meta in loader.epoch(0, with_meta=True):
+        Nc = batch.lig_feat.shape[1]
+        for pdb in meta["pdb"]:
+            seen[pdb] = Nc
+        assert meta["cfg"].shapes.max_ligand == Nc
+    assert len(seen) == 8
+    assert all(v == 8 for k, v in seen.items() if k.startswith("s"))
+    assert all(v == 24 for k, v in seen.items() if k.startswith("L"))
+    assert loader.n_dropped == 0
