@@ -54,6 +54,8 @@ def main(argv=None):
                         "(small->large); each complex runs in the smallest "
                         "bucket it fits — one jit specialization per bucket "
                         "instead of padding everything to the maximum")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the eval loop")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     args = p.parse_args(argv)
 
@@ -127,6 +129,8 @@ def main(argv=None):
         os.makedirs(args.write_coords_dir, exist_ok=True)
     t0 = time.time()
     n = 0
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     for batch, meta in loader.epoch(0, with_meta=True):
         out = eval_step(params, batch, meta["cfg"])
         if args.post_optim:
@@ -143,6 +147,9 @@ def main(argv=None):
                 np.savez(os.path.join(args.write_coords_dir, f"{pdb}.npz"),
                          pred_coords=np.asarray(out.coords)[i, :nl])
         n += meta["n_valid"]
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace -> {args.profile_dir}")
     dt = time.time() - t0
     metrics = acc.summarize()
     metrics["complexes_per_sec"] = n / dt

@@ -68,33 +68,47 @@ def main(argv=None):
     rows = list(csv.DictReader(open(args.index)))
     protein_cache = {}
     samples, metas = [], []
+    n_skipped = 0
     for row in rows:
         smiles = row.get("Cleaned_SMILES") or row.get("smiles")
         pdb = row.get("pdb_file") or row.get("pdb")
         t0 = time.time()
-        mol = F.read_smiles(smiles)
-        mol = F.generate_conformation(mol)
-        feat = F.featurize_mol(mol)
-        if pdb not in protein_cache:
-            struct = F.extract_protein_structure(
-                os.path.join(args.pdb_dir, pdb + ".pdb"))
-            esm = F.extract_esm_feature(struct["seq"], device=args.esm_device)
-            protein_cache[pdb] = (struct, esm)
-        struct, esm = protein_cache[pdb]
-        raw = {
-            "protein_xyz": struct["coords"][:, 1],   # CA
-            "esm_feat": esm,
-            "lig_coords": feat["coords"],             # no gt: conformer
-            "lig_feats": feat["feats"],
-            "bond_edges": feat["bond_edges"],
-            "las_mask": feat["las_mask"],
-            "rdkit_coords": feat["coords"],
-        }
-        s = build_sample(raw, cfg, group="test")
+        # skip-and-continue on bad inputs (reference
+        # fabind_inference.py:366-375 wraps each batch in try/except)
+        try:
+            mol = F.read_smiles(smiles)
+            mol = F.generate_conformation(mol)
+            feat = F.featurize_mol(mol)
+            if pdb not in protein_cache:
+                struct = F.extract_protein_structure(
+                    os.path.join(args.pdb_dir, pdb + ".pdb"))
+                esm = F.extract_esm_feature(struct["seq"],
+                                            device=args.esm_device)
+                protein_cache[pdb] = (struct, esm)
+            struct, esm = protein_cache[pdb]
+            raw = {
+                "protein_xyz": struct["coords"][:, 1],   # CA
+                "esm_feat": esm,
+                "lig_coords": feat["coords"],             # no gt: conformer
+                "lig_feats": feat["feats"],
+                "bond_edges": feat["bond_edges"],
+                "las_mask": feat["las_mask"],
+                "rdkit_coords": feat["coords"],
+            }
+            s = build_sample(raw, cfg, group="test")
+        except Exception as e:
+            n_skipped += 1
+            print(f"SKIP {pdb} / {smiles[:40]}: {type(e).__name__}: {e}")
+            continue
         samples.append(s)
         metas.append({"smiles": smiles, "pdb": pdb, "mol": mol,
                       "coord_offset": s["coord_offset"],
                       "t_feat": time.time() - t0})
+    if n_skipped:
+        print(f"skipped {n_skipped}/{len(rows)} complexes")
+    if not samples:
+        print("no valid complexes")
+        return
 
     @jax.jit
     def infer(params, batch):

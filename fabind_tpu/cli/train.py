@@ -32,6 +32,9 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=0, help="dp mesh size (0=all)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace (TensorBoard xplane) "
+                        "of training steps 10-15 into this directory")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, e.g. --set max_ligand=32 "
                         "--set n_iter=4 (any ModelConfig/ShapeConfig/"
@@ -111,8 +114,15 @@ def main(argv=None):
         t0 = time.time()
         for batch in train_loader.epoch(epoch):
             batch = shard_batch(batch, mesh)
+            if args.profile_dir and step == 10:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = train_step(state, batch)
             step += 1
+            if args.profile_dir and step == 15:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), state.params)
+                jax.profiler.stop_trace()
+                logger.log_message(f"profiler trace -> {args.profile_dir}")
             if step % 50 == 0:
                 logger.log_metrics(metrics, step)
         logger.log_message(

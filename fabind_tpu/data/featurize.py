@@ -255,3 +255,22 @@ def extract_esm_feature(seq: str, model_name: str =
         out = model(**toks).last_hidden_state[0, 1:-1]
     assert out.shape[0] == len(seq)
     return out.cpu().numpy().astype(np.float32)
+
+
+def compound_pair_dis_distribution(coords: np.ndarray,
+                                   las_mask: Optional[np.ndarray] = None
+                                   ) -> np.ndarray:
+    """16-bin one-hot pairwise-distance distribution
+    (reference feature_utils.py:139-154): 1Å bins from -0.5, clamped at 15;
+    pairs outside the LAS constraint are forced to the last bin, the
+    diagonal to bin 0. Stored alongside features for format parity with the
+    reference's preprocessed mol records (a legacy TankBind input — no
+    FABind model consumes it)."""
+    coords = np.asarray(coords, np.float64)
+    d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
+    if las_mask is not None:
+        d = np.where(np.asarray(las_mask, bool), d, 15.0)
+        np.fill_diagonal(d, 0.0)
+    d = np.minimum(d, 15.0)
+    idx = np.floor((d + 0.5) / 1.0).astype(np.int64)
+    return np.eye(16, dtype=np.float32)[idx]

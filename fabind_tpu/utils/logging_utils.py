@@ -57,3 +57,22 @@ class Logger:
             for k, v in clean.items():
                 if isinstance(v, float):
                     self._tb.add_scalar(f"{phase}/{k}", v, step)
+
+
+def log_to_wandb(metrics: Dict[str, float], phase: str, epoch: int) -> bool:
+    """Per-phase metric logging to Weights & Biases
+    (FABind_plus/fabind/utils/logging_utils.py:33-47). The wandb package is
+    optional: when it is not installed (or no run is active) this is a no-op
+    returning False — the JSONL stream from Logger.log_metrics remains the
+    primary observability surface.
+    """
+    try:
+        import wandb
+    except ImportError:
+        return False
+    if wandb.run is None:
+        return False
+    log_dict = {f"{phase}/{k}": v for k, v in metrics.items()}
+    log_dict["epoch"] = epoch
+    wandb.log(log_dict)
+    return True
