@@ -101,6 +101,17 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     return np.stack(all_coords), np.stack(all_scores)
 
 
+def aggregate_topn(rmsds: np.ndarray, cents: np.ndarray, confs: np.ndarray,
+                   topn: int = 1):
+    """Best RMSD / centroid distance among each complex's top-N poses by
+    confidence (reference test_sampling_fabind.py:165-178; released
+    benchmark uses N=1). Inputs are [S, n] over S sample epochs."""
+    order = np.argsort(-confs, axis=0)[:topn]               # [N, n]
+    best_rmsd = np.min(np.take_along_axis(rmsds, order, 0), axis=0)
+    best_cent = np.min(np.take_along_axis(cents, order, 0), axis=0)
+    return best_rmsd, best_cent
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--preset", default="fabind_plus_sampling")
@@ -110,8 +121,17 @@ def main(argv=None):
     p.add_argument("--sample-size", type=int, default=40)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--topn", type=int, default=1,
+                   help="aggregate best RMSD among the top-N poses by "
+                        "confidence (test_sampling_fabind.py:165-178, N=1)")
+    p.add_argument("--save-rmsd-dir", default=None,
+                   help="write per-sample-epoch 'pdb rmsd centroid "
+                        "confidence' lines as epoch{i}_confidence.txt "
+                        "(the reference benchmark's aggregation inputs)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
+
+    import os
 
     import jax
     import jax.numpy as jnp
@@ -120,7 +140,8 @@ def main(argv=None):
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.train.convert import convert_checkpoint
-    from fabind_tpu.utils.metrics import ligand_rmsd, summarize_rmsd
+    from fabind_tpu.utils.metrics import (centroid_distance, ligand_rmsd,
+                                          summarize_rmsd)
 
     cfg = preset(args.preset)
     model = make_model(cfg)
@@ -137,15 +158,39 @@ def main(argv=None):
     loader = Loader(source, splits[args.split], cfg, group=args.split,
                     batch_size=args.batch_size)
 
-    best_rmsds = []
-    for batch in loader.epoch(0):
+    # [S, n] per-complex arrays across sample epochs
+    rmsds, cents, confs, pdbs = [], [], [], []
+    for batch, meta in loader.epoch(0, with_meta=True):
+        nv = meta["n_valid"]
         coords, scores = sample_poses(model, params, batch, cfg,
                                       args.sample_size, seed=args.seed)
-        best = np.argmax(scores, axis=0)
-        sel = np.take_along_axis(coords, best[None, :, None, None], 0)[0]
-        best_rmsds.append(ligand_rmsd(sel, np.asarray(batch.lig_coords),
-                                      np.asarray(batch.lig_mask)))
-    metrics = summarize_rmsd(np.concatenate(best_rmsds))
+        true = np.asarray(batch.lig_coords)
+        mask = np.asarray(batch.lig_mask)
+        rmsds.append(np.stack([ligand_rmsd(c, true, mask)[:nv]
+                               for c in coords]))
+        cents.append(np.stack([centroid_distance(c, true, mask)[:nv]
+                               for c in coords]))
+        confs.append(scores[:, :nv])
+        pdbs.extend(meta["pdb"])
+    rmsds = np.concatenate(rmsds, axis=1)      # [S, n]
+    cents = np.concatenate(cents, axis=1)
+    confs = np.concatenate(confs, axis=1)
+
+    if args.save_rmsd_dir:
+        os.makedirs(args.save_rmsd_dir, exist_ok=True)
+        for s in range(rmsds.shape[0]):
+            path = os.path.join(args.save_rmsd_dir,
+                                f"epoch{s}_confidence.txt")
+            with open(path, "w") as f:
+                for i, pdb in enumerate(pdbs):
+                    f.write(f"{pdb} {rmsds[s, i]:.6f} {cents[s, i]:.6f} "
+                            f"{confs[s, i]:.6f}\n")
+
+    best_rmsd, best_cent = aggregate_topn(rmsds, cents, confs, args.topn)
+    metrics = summarize_rmsd(best_rmsd)
+    metrics.update(summarize_rmsd(best_cent, prefix="centroid_dis"))
+    metrics["n"] = int(rmsds.shape[1])
+    metrics["sample_size"] = int(rmsds.shape[0])
     print(json.dumps(metrics, indent=2))
     if args.out:
         json.dump(metrics, open(args.out, "w"), indent=2)

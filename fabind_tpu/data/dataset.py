@@ -69,8 +69,13 @@ class PDBBindLMDBSource:
                 os.path.join(p, "esm2_t33_650M_UR50D.lmdb"), readonly=True,
                 max_readers=1, lock=False, readahead=False, meminit=False)
 
-    def splits(self, variant: str = "fabind") -> Dict[str, List[int]]:
-        """Reference split filters (data.py:110-119; FABind+ data.py:128-138)."""
+    def splits(self, variant: str = "fabind",
+               cut_protein_length: Optional[int] = None) -> Dict[str, List[int]]:
+        """Reference split filters (data.py:110-119; FABind+ data.py:128-138).
+
+        FABind+ trains with cut_train_set (protein_length < 1500) +
+        expand_clength_set (c_length < 150); pass cut_protein_length=0 to
+        disable the length cut explicitly."""
         d = self.index
         if variant == "fabind":
             train = d.query("c_length < 100 and native_num_contact > 5 and "
@@ -78,10 +83,28 @@ class PDBBindLMDBSource:
         else:
             train = d.query("c_length < 150 and native_num_contact > 5 and "
                             "group == 'train' and use_compound_com")
+            if cut_protein_length is None:
+                cut_protein_length = 1500
         out = {"train": list(train.index.values)}
+        if cut_protein_length:
+            lens = self._protein_lengths(
+                d.iloc[out["train"]]["protein_name"].unique())
+            out["train"] = [
+                i for i in out["train"]
+                if lens[d.iloc[i]["protein_name"]] < cut_protein_length]
         for g in ("valid", "test"):
             out[g] = list(d.query(
                 f"group == '{g}' and use_compound_com").index.values)
+        return out
+
+    def _protein_lengths(self, names) -> Dict[str, int]:
+        """Sequence length per protein (FABind+ data.py:42-58 builds the
+        protein_length column the same way, from the LMDB seqs)."""
+        out = {}
+        with self.protein_db.begin() as txn:
+            for name in names:
+                _, seq = pickle.loads(txn.get(str(name).encode()))
+                out[str(name)] = len(seq)
         return out
 
     def get(self, idx: int) -> Dict[str, np.ndarray]:

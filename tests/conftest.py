@@ -12,3 +12,10 @@ import jax  # noqa: E402
 # The environment's axon plugin overrides JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated (tiny shapes,
+# many jit specializations); caching executables across runs cuts repeat
+# suite time drastically.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

@@ -89,3 +89,21 @@ def test_pick_best_by_confidence():
     best, s = pick_best_by_confidence(coords, scores)
     np.testing.assert_array_equal(np.asarray(best[0]), np.asarray(coords[1, 0]))
     np.testing.assert_array_equal(np.asarray(best[1]), np.asarray(coords[0, 1]))
+
+
+def test_topn_confidence_aggregation():
+    """Top-N-by-confidence pose aggregation (test_sampling_fabind.py:165-178):
+    per complex, take the N most confident poses and keep the best RMSD."""
+    import numpy as np
+    from fabind_tpu.cli.sample import aggregate_topn
+
+    rmsds = np.array([[5.0, 1.0], [1.0, 4.0], [3.0, 2.0]])   # [S=3, n=2]
+    cents = rmsds / 2
+    confs = np.array([[0.9, 0.1], [0.2, 0.8], [0.5, 0.3]])
+    # N=1: complex0 -> epoch0 (conf .9) rmsd 5; complex1 -> epoch1 rmsd 4
+    r1, c1 = aggregate_topn(rmsds, cents, confs, topn=1)
+    np.testing.assert_allclose(r1, [5.0, 4.0])
+    np.testing.assert_allclose(c1, [2.5, 2.0])
+    # N=2: complex0 -> epochs {0,2} min rmsd 3; complex1 -> {1,2} min 2
+    r2, _ = aggregate_topn(rmsds, cents, confs, topn=2)
+    np.testing.assert_allclose(r2, [3.0, 2.0])

@@ -21,12 +21,20 @@ TINY = dict(max_ligand=8, max_pocket=16, max_protein=32, ctx_k=6,
             total_epochs=4)
 
 
-def test_train_step_updates_params():
+@pytest.fixture(scope="module")
+def train_setup():
+    """One train-state + jitted step shared by the single-host train tests
+    (the compile dominates suite time; see conftest compile cache)."""
     cfg = preset("fabind", **TINY)
     batch = dummy_batch(cfg.shapes, batch_size=2, n_lig_valid=6,
                         n_prot_valid=24)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
     step = jax.jit(make_train_step(model, cfg))
+    return cfg, batch, model, state, step
+
+
+def test_train_step_updates_params(train_setup):
+    cfg, batch, model, state, step = train_setup
     state2, metrics = step(state, batch)
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["loss"]))
@@ -40,12 +48,8 @@ def test_train_step_updates_params():
     assert max(jax.tree_util.tree_leaves(d)) > 0
 
 
-def test_train_step_skips_nan_batch():
-    cfg = preset("fabind", **TINY)
-    batch = dummy_batch(cfg.shapes, batch_size=2, n_lig_valid=6,
-                        n_prot_valid=24)
-    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-    step = jax.jit(make_train_step(model, cfg))
+def test_train_step_skips_nan_batch(train_setup):
+    cfg, batch, model, state, step = train_setup
     bad = batch.replace(lig_coords=batch.lig_coords.at[0, 0, 0].set(jnp.nan))
     state2, metrics = step(state, bad)
     assert float(metrics["skipped_nan"]) == 1.0
