@@ -238,12 +238,25 @@ def extract_esm_feature(seq: str, model_name: str =
                         "facebook/esm2_t33_650M_UR50D",
                         device: str = "cpu") -> np.ndarray:
     """Layer-33 ESM2-650M residue embeddings, BOS/EOS stripped
-    (inference_pdb_utils.py:63-89; tools/generate_esm2_t33.py:20-53)."""
+    (inference_pdb_utils.py:63-89; tools/generate_esm2_t33.py:20-53).
+
+    device="jax" runs the TPU-native flax encoder
+    (fabind_tpu.models.esm2, weights converted once from the torch
+    checkpoint); any other value is a torch device for the HF model."""
     try:
         import torch
         from transformers import AutoTokenizer, EsmModel
     except ImportError as e:
         raise ImportError("transformers required for ESM2 features") from e
+    if device == "jax":
+        key = (model_name, "jax")
+        if key not in _ESM_CACHE:
+            from fabind_tpu.models.esm2 import esm2_from_torch
+            tm = EsmModel.from_pretrained(model_name).eval()
+            _ESM_CACHE[key] = esm2_from_torch(tm)
+        model, params = _ESM_CACHE[key]
+        from fabind_tpu.models.esm2 import embed_sequences
+        return embed_sequences(model, params, [seq])[0]
     if model_name not in _ESM_CACHE:
         tok = AutoTokenizer.from_pretrained(model_name)
         model = EsmModel.from_pretrained(model_name).to(device).eval()

@@ -4,8 +4,12 @@ import os
 # real TPU chip (mirrors the multi-device CPU testing strategy in SURVEY.md §4).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# golden-parity tests compare against torch at 1e-5..1e-4 tolerances; XLA
+# CPU's fast-math default perturbs matmuls well above that
+if "xla_cpu_enable_fast_math" not in flags:
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
