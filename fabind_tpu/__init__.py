@@ -2,4 +2,4 @@
 
 from fabind_tpu.config import FABindConfig, ModelConfig, ShapeConfig, TrainConfig, preset
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

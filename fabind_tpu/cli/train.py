@@ -103,7 +103,10 @@ def main(argv=None):
     mesh = make_mesh(args.dp or None)
     state = replicate(state, mesh)
     train_step = make_sharded_train_step(model, cfg, mesh)
-    eval_step = make_eval_step(model, cfg, stage=2)
+    # the reference evaluates both the teacher-forced pocket (stage 1) and
+    # the predicted-pocket path (stage 2) each epoch (main_fabind.py:554-589)
+    eval_steps = {1: make_eval_step(model, cfg, stage=1),
+                  2: make_eval_step(model, cfg, stage=2)}
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(state.params))
@@ -131,11 +134,13 @@ def main(argv=None):
         checkpoints.save_state(args.output + "/ckpt", jax.device_get(state))
 
         if (epoch + 1) % args.eval_every == 0 and len(valid_loader.indices):
-            acc = MetricAccumulator()
-            for batch in valid_loader.epoch(0):
-                out = eval_step(state.params, batch)
-                acc.update(jax.device_get(out), batch)
-            logger.log_metrics(acc.summarize(), step, phase="valid")
+            for stage, eval_step in eval_steps.items():
+                acc = MetricAccumulator()
+                for batch in valid_loader.epoch(0):
+                    out = eval_step(state.params, batch)
+                    acc.update(jax.device_get(out), batch)
+                logger.log_metrics(acc.summarize(), step,
+                                   phase=f"valid_stage{stage}")
 
 
 if __name__ == "__main__":
