@@ -139,8 +139,46 @@ def run_pdbbind_mode(args):
     _log(f"wrote {n_ok} complexes -> {args.out}")
 
 
+# int-code -> residue letter of the reference's protein_1d_3d.lmdb seq
+# encoding (generate_esm2_t33.py:13-18; fixed by the published dataset format)
+_NUM_TO_LETTER = {4: "C", 3: "D", 15: "S", 5: "Q", 11: "K", 9: "I",
+                  14: "P", 16: "T", 13: "F", 0: "A", 7: "G", 8: "H",
+                  6: "E", 10: "L", 1: "R", 17: "W", 19: "V",
+                  2: "N", 18: "Y", 12: "M"}
+
+
+def run_esm_lmdb_mode(args):
+    """protein_1d_3d.lmdb -> esm2_t33_650M_UR50D.lmdb, the reference's
+    offline embedding pass (tools/generate_esm2_t33.py:25-53)."""
+    import pickle
+
+    import lmdb
+
+    from fabind_tpu.data.featurize import extract_esm_feature
+    p = os.path.join(args.lmdb, "dataset", "processed")
+    src = lmdb.open(os.path.join(p, "protein_1d_3d.lmdb"), readonly=True)
+    dst = lmdb.open(os.path.join(p, "esm2_t33_650M_UR50D.lmdb"),
+                    map_size=1024 ** 4)
+    n = 0
+    with src.begin(write=False) as txn, dst.begin(write=True) as out:
+        for key, value in txn.cursor():
+            seq_ids = pickle.loads(value)[1].tolist()
+            seq = "".join(_NUM_TO_LETTER[a] for a in seq_ids)
+            emb = extract_esm_feature(seq, device=args.esm_device)
+            out.put(key, pickle.dumps(emb))
+            n += 1
+            if n % 100 == 0:
+                _log(f"{n} proteins embedded")
+    src.close()
+    _log(f"wrote {n} embeddings -> {p}/esm2_t33_650M_UR50D.lmdb")
+
+
 def run_esm_mode(args):
     """Batch ESM2 embedding tool (tools/generate_esm2_t33.py:20-53)."""
+    if args.lmdb:
+        return run_esm_lmdb_mode(args)
+    if not (args.seqs and args.out):
+        raise SystemExit("esm mode needs --seqs AND --out (or --lmdb)")
     from fabind_tpu.data.featurize import extract_esm_feature
     os.makedirs(args.out, exist_ok=True)
     with open(args.seqs) as f:
@@ -187,9 +225,13 @@ def main(argv=None):
     pp.add_argument("--max-iso", type=int, default=8)
 
     pe = sub.add_parser("esm")
-    pe.add_argument("--seqs", required=True, help="FASTA file")
-    pe.add_argument("--out", required=True)
-    pe.add_argument("--esm-device", default="cpu")
+    pe.add_argument("--seqs", default=None, help="FASTA file")
+    pe.add_argument("--out", default=None)
+    pe.add_argument("--lmdb", default=None,
+                    help="PDBbind root: embed protein_1d_3d.lmdb into "
+                         "esm2_t33_650M_UR50D.lmdb instead of FASTA->npy")
+    pe.add_argument("--esm-device", default="cpu",
+                    help="'jax' runs the TPU-native flax ESM2 encoder")
 
     args = p.parse_args(argv)
     if args.mode == "inference":
