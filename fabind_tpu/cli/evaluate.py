@@ -56,6 +56,10 @@ def main(argv=None):
                         "instead of padding everything to the maximum")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the eval loop")
+    p.add_argument("--workers", type=int, default=8,
+                   help="host featurization threads (0 = inline)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches buffered ahead of the device (0 = off)")
     p.add_argument("--out", default=None, help="write metrics JSON here")
     args = p.parse_args(argv)
 
@@ -110,7 +114,8 @@ def main(argv=None):
             buckets.append(dataclasses.replace(
                 cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
     loader = Loader(source, indices, cfg, group=args.split,
-                    batch_size=args.batch_size, buckets=buckets)
+                    batch_size=args.batch_size, buckets=buckets,
+                    workers=args.workers, prefetch_depth=args.prefetch)
 
     # one model + jitted step per shape bucket (params are shape-independent)
     steps = {}

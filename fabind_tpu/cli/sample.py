@@ -156,7 +156,7 @@ def main(argv=None):
     source = PDBBindLMDBSource(args.data)
     splits = source.splits("fabind_plus")
     loader = Loader(source, splits[args.split], cfg, group=args.split,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size, workers=8, prefetch_depth=2)
 
     # [S, n] per-complex arrays across sample epochs
     rmsds, cents, confs, pdbs = [], [], [], []

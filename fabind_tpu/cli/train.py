@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace (TensorBoard xplane) "
                         "of training steps 10-15 into this directory")
+    p.add_argument("--workers", type=int, default=8,
+                   help="host featurization threads (reference DataLoader "
+                        "num_workers=10, main_fabind.py:220); 0 = inline")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches buffered ahead of the device (0 = off)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, e.g. --set max_ligand=32 "
                         "--set n_iter=4 (any ModelConfig/ShapeConfig/"
@@ -88,8 +93,11 @@ def main(argv=None):
         f"splits: {({k: len(v) for k, v in splits.items()})}")
 
     train_loader = Loader(source, splits["train"], cfg, group="train",
-                          seed=cfg.train.seed)
-    valid_loader = Loader(source, splits.get("valid", []), cfg, group="valid")
+                          seed=cfg.train.seed, workers=args.workers,
+                          prefetch_depth=args.prefetch)
+    valid_loader = Loader(source, splits.get("valid", []), cfg, group="valid",
+                          workers=args.workers,
+                          prefetch_depth=args.prefetch)
 
     first = next(train_loader.epoch(0))
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),

@@ -111,7 +111,7 @@ def main(argv=None):
     logger.log_message(f"confidence train set: {len(train_idx)} complexes")
 
     loader = Loader(source, train_idx, cfg, group="train",
-                    seed=cfg.train.seed)
+                    seed=cfg.train.seed, workers=8, prefetch_depth=2)
     first = next(loader.epoch(0))
 
     model = make_model(cfg)

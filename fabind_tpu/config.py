@@ -177,6 +177,10 @@ class TrainConfig:
 
     addNoise: float = 5.0
     train_ligand_torsion_noise: bool = False
+    # flexible-docking pocket-coordinate supervision (SmoothL1 vs the
+    # dataset's pocket coords — holo self-consistency unless the data source
+    # supplies a distinct apo input structure)
+    flex_pocket_coord_loss_weight: float = 1.0
 
     # confidence training (FABind_plus/fabind/train_confidence.py)
     num_copies: int = 5
@@ -204,9 +208,15 @@ def preset(name: str, **overrides) -> FABindConfig:
     - "fabind_plus": FABind+ regression (test_regression_fabind.py:42).
     - "fabind_plus_sampling": FABind+ with confidence head + clustering
       (inference_sampling_fabind.py:69).
+    - "fabflex": FABind base with FABFlex-style blind flexible docking
+      (pocket residues move during recycling; linked from
+      FABind/README.md:55-71 — no reference code exists, this preset is the
+      architectural hook SURVEY.md §7 P8 describes).
     """
     if name == "fabind":
         cfg = FABindConfig()
+    elif name == "fabflex":
+        cfg = FABindConfig(model=ModelConfig(flexible_docking=True))
     elif name in ("fabind_plus", "fabind_plus_sampling"):
         model = ModelConfig(
             variant="fabind_plus",

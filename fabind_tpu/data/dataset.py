@@ -16,8 +16,13 @@ builds samples host-side and collates fixed-shape batches.
 """
 from __future__ import annotations
 
+import itertools
 import os
 import pickle
+import queue
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -57,17 +62,19 @@ class PDBBindLMDBSource:
                                 weights_only=False)
         self.rdkit_coords = torch.load(
             os.path.join(p, "compound_rdkit_coords.pt"), weights_only=False)
+        # max_readers sized for the Loader's worker threads (each read-only
+        # txn takes a reader slot)
         self.protein_db = lmdb.open(
             os.path.join(p, "protein_1d_3d.lmdb"), readonly=True,
-            max_readers=1, lock=False, readahead=False, meminit=False)
+            max_readers=128, lock=False, readahead=False, meminit=False)
         self.compound_db = lmdb.open(
             os.path.join(p, "compound_LAS_edge_index.lmdb"), readonly=True,
-            max_readers=1, lock=False, readahead=False, meminit=False)
+            max_readers=128, lock=False, readahead=False, meminit=False)
         self.esm_db = None
         if use_esm2_feat:
             self.esm_db = lmdb.open(
                 os.path.join(p, "esm2_t33_650M_UR50D.lmdb"), readonly=True,
-                max_readers=1, lock=False, readahead=False, meminit=False)
+                max_readers=128, lock=False, readahead=False, meminit=False)
 
     def splits(self, variant: str = "fabind",
                cut_protein_length: Optional[int] = None) -> Dict[str, List[int]]:
@@ -143,6 +150,52 @@ class PDBBindLMDBSource:
         }
 
 
+_SENTINEL = object()
+
+
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run `it` in a background thread, buffering up to `depth` items.
+
+    The TPU-native analogue of the reference's DataLoader pipelining
+    (main_fabind.py:220 num_workers=10): host-side featurization/collation
+    overlaps with device compute instead of serializing with it. Exceptions
+    from the producer re-raise in the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    err: List[BaseException] = []
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=run, daemon=True, name="fabind-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def _bounded_map(ex: ThreadPoolExecutor, fn, items, window: int) -> Iterator:
+    """Ordered executor map with at most `window` in-flight tasks (a plain
+    Executor.map submits the whole epoch eagerly)."""
+    items = iter(items)
+    futs = deque(ex.submit(fn, x) for x in itertools.islice(items, window))
+    while futs:
+        f = futs.popleft()
+        nxt = next(items, _SENTINEL)
+        if nxt is not _SENTINEL:
+            futs.append(ex.submit(fn, nxt))
+        yield f.result()
+
+
 class Loader:
     """Host-side batching loop with size filtering + deterministic shuffling.
 
@@ -151,12 +204,18 @@ class Loader:
     batches are emitted per bucket — the TPU-native answer to the
     reference's per-sample dynamic shapes: one jit specialization per
     bucket instead of padding every complex to the dataset maximum.
-    """
+
+    `workers` parallelizes per-sample featurization over a thread pool
+    (per-sample PRNG streams derived from the epoch seed keep it
+    deterministic for any worker count); `prefetch_depth` additionally runs
+    the whole batching loop in a background thread so the host pipeline
+    overlaps with device compute. Both default off (synchronous)."""
 
     def __init__(self, source, indices: Sequence, cfg: FABindConfig,
                  group: str = "train", batch_size: Optional[int] = None,
                  seed: int = 0, drop_oversize: bool = True,
-                 buckets: Optional[Sequence] = None):
+                 buckets: Optional[Sequence] = None, workers: int = 0,
+                 prefetch_depth: int = 0):
         self.source = source
         self.indices = list(indices)
         self.cfg = cfg
@@ -164,6 +223,8 @@ class Loader:
         self.batch_size = batch_size or cfg.train.batch_size
         self.seed = seed
         self.drop_oversize = drop_oversize
+        self.workers = workers
+        self.prefetch_depth = prefetch_depth
         self.n_dropped = 0
         if buckets:
             import dataclasses
@@ -203,6 +264,40 @@ class Loader:
         """Yields collated batches; with_meta=True yields (batch, meta) where
         meta = {"pdb": [names of REAL rows], "n_valid": int,
         "cfg": the bucket's FABindConfig}."""
+        gen = self._epoch_impl(epoch, with_meta)
+        if self.prefetch_depth:
+            return prefetch(gen, self.prefetch_depth)
+        return gen
+
+    def _samples(self, order: List, rng: np.random.RandomState) -> Iterator:
+        """(idx, raw, sample) stream; threaded when self.workers > 0."""
+        if not self.workers:
+            for idx in order:
+                raw = self.source.get(idx)
+                yield idx, raw, build_sample(
+                    raw, self.cfg, group=self.group, rng=rng,
+                    isomorphisms=raw.get("isomorphisms"))
+            return
+        # independent per-sample streams (drawn sequentially up front) keep
+        # the epoch deterministic for any worker count
+        seeds = rng.randint(0, 2 ** 31 - 1, size=len(order))
+
+        def build(i_idx):
+            i, idx = i_idx
+            raw = self.source.get(idx)
+            s = build_sample(raw, self.cfg, group=self.group,
+                             rng=np.random.RandomState(seeds[i]),
+                             isomorphisms=raw.get("isomorphisms"))
+            return idx, raw, s
+
+        ex = ThreadPoolExecutor(self.workers, thread_name_prefix="fabind-data")
+        try:
+            yield from _bounded_map(ex, build, enumerate(order),
+                                    window=2 * self.workers)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _epoch_impl(self, epoch: int, with_meta: bool) -> Iterator:
         rng = np.random.RandomState(self.seed + epoch)
         order = list(self.indices)
         if self.group == "train":
@@ -216,10 +311,7 @@ class Loader:
                                "cfg": cfg_b}
             return batch
 
-        for idx in order:
-            raw = self.source.get(idx)
-            s = build_sample(raw, self.cfg, group=self.group, rng=rng,
-                             isomorphisms=raw.get("isomorphisms"))
+        for idx, raw, s in self._samples(order, rng):
             cfg_b = self._route(s)
             if cfg_b is None:
                 self.n_dropped += 1

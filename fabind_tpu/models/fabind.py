@@ -51,6 +51,12 @@ class FABindOutput:
     ctx_overflow: Array        # [B] radius edges dropped by the ctx top-K table
     pocket_radius_pred: Array  # [B] (FABind+; zeros for base)
     confidence: Array          # [B] (FABind+ confidence head; zeros otherwise)
+    # FABFlex-style flexible docking (config.flexible_docking): the docked
+    # pocket-residue coordinates (protein-mean frame). Equal to the input
+    # pocket coords when the pocket is rigid.
+    pocket_coords: Array       # [B, Np, 3]
+    pkt_idx: Array             # [B, Np] residue indices the docking pocket used
+    pkt_mask: Array            # [B, Np]
 
 
 class FABind(nn.Module):
@@ -250,7 +256,7 @@ class FABind(nn.Module):
         out = self._dock(batch, compound_out, protein_out, pkt_idx, pkt_mask,
                          use_stage2, det)
         (coords_out, y_pred, y_by_coord, dis_map, pair_valid, confidence,
-         ctx_overflow) = out
+         ctx_overflow, pkt_coords_out) = out
 
         return FABindOutput(
             coords=coords_out,
@@ -269,6 +275,9 @@ class FABind(nn.Module):
             ctx_overflow=ctx_overflow,
             pocket_radius_pred=radius_pred,
             confidence=confidence,
+            pocket_coords=pkt_coords_out,
+            pkt_idx=pkt_idx,
+            pkt_mask=pkt_mask,
         )
 
     def _crop_radius(self, radius_pred: Array, B: int) -> Array:
@@ -342,6 +351,9 @@ class FABind(nn.Module):
         pkt_out = h_out[:, layout.pkt_slice]
         lig_out = h_out[:, layout.lig_slice]
         pair_valid = pkt_mask[:, :, None] & batch.lig_mask[:, None, :]
+        # docked pocket coordinates: identical to the input pocket unless
+        # flexible_docking carries pocket updates across recycles
+        pkt_coords_n = x_out[:, layout.pkt_slice]
 
         # distance-map heads (model.py:344-365 / plus model.py:376-388)
         if cfg.is_plus:
@@ -354,7 +366,8 @@ class FABind(nn.Module):
             b = self.distmap_mlp(z)[..., 0]
         y_pred = jax.nn.sigmoid(b) * cfg.dis_map_thres
 
-        d_n = pairwise_dist(cfg.normalize(pkt_xyz), coords_n)
+        # by-coord distances read the docked pocket (== input when rigid)
+        d_n = pairwise_dist(pkt_coords_n, coords_n)
         y_by_coord = jnp.clip(cfg.unnormalize(d_n), 0.0, cfg.dis_map_thres)
 
         # regression target: stage1 vs gt coords (utils.py:234-239);
@@ -371,6 +384,8 @@ class FABind(nn.Module):
 
         coords_out = cfg.unnormalize(coords_n) + bias[:, None]
         coords_out = coords_out * batch.lig_mask[..., None]
+        pkt_coords_out = cfg.unnormalize(pkt_coords_n) + bias[:, None]
+        pkt_coords_out = pkt_coords_out * pkt_mask[..., None]
 
         confidence = jnp.zeros((batch.batch_size,), h_out.dtype)
         if cfg.is_plus and cfg.confidence_training:
@@ -382,7 +397,7 @@ class FABind(nn.Module):
             confidence = self.ranking_score_mlp(pooled, deterministic=det)[..., 0]
 
         return (coords_out, y_pred, y_by_coord, dis_map, pair_valid,
-                confidence, ctx_overflow)
+                confidence, ctx_overflow, pkt_coords_out)
 
     # ------------------------------------------------------------- inference
     def inference(self, batch, center_override: Optional[Array] = None,
@@ -402,10 +417,37 @@ class FABind(nn.Module):
             center = center_override
         radius = self._crop_radius(radius_pred, batch.batch_size)
         idx, mask, _, _ = self._predicted_crop(center, radius, batch)
-        coords, _, _, _, _, confidence, _ = self._dock(
+        coords, _, _, _, _, confidence, _, _ = self._dock(
             batch, compound_out, protein_out, idx, mask,
             jnp.asarray(True), deterministic)
         return coords, confidence
+
+    def inference_flexible(self, batch,
+                           center_override: Optional[Array] = None,
+                           deterministic: bool = True
+                           ) -> Tuple[Array, Array, Array, Array, Array]:
+        """`inference` variant that also returns the docked pocket
+        conformation — the FABFlex-style blind flexible-docking output
+        (FABFlex is linked from FABind/README.md:55-71; no code in the
+        reference snapshot). With config.flexible_docking the pocket residue
+        coordinates move with the ligand during recycling; rigid configs
+        return the input pocket unchanged.
+
+        Returns (lig_coords [B,Nc,3], pkt_coords [B,Np,3], pkt_idx [B,Np],
+        pkt_mask [B,Np], confidence [B])."""
+        cfg = self.cfg
+        compound_out, protein_out, cls_logits, radius_pred = \
+            self._pocket_pred(batch, deterministic)
+        center = pocket_center_rounded(cls_logits, batch.prot_xyz,
+                                       batch.prot_mask, cfg.gs_tau, cfg.gs_hard)
+        if center_override is not None:
+            center = center_override
+        radius = self._crop_radius(radius_pred, batch.batch_size)
+        idx, mask, _, _ = self._predicted_crop(center, radius, batch)
+        coords, _, _, _, _, confidence, _, pkt_coords = self._dock(
+            batch, compound_out, protein_out, idx, mask,
+            jnp.asarray(True), deterministic)
+        return coords, pkt_coords, idx, mask, confidence
 
 
 def make_model(cfg) -> FABind:

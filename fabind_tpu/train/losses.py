@@ -136,8 +136,20 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         radius_loss = tcfg.pocket_radius_loss_weight * jnp.mean(
             huber(out.pocket_radius_pred, batch.ligand_radius, 1.0))
 
+    # ---- flexible-docking pocket coordinates (FABFlex-style) ----
+    # supervise the docked pocket conformation against the dataset's pocket
+    # coords (holo self-consistency; a source providing a distinct apo input
+    # makes this true apo->holo supervision)
+    flex_pocket_loss = jnp.zeros(())
+    if mcfg.flexible_docking:
+        gt_pkt = jax.vmap(lambda xyz, idx: xyz[idx])(batch.prot_xyz,
+                                                     out.pkt_idx)
+        per = crit(out.pocket_coords, gt_pkt).mean(-1)
+        flex_pocket_loss = (tcfg.flex_pocket_coord_loss_weight *
+                            masked_mean(per, out.pkt_mask))
+
     total = (com_coord_loss + dismap_total + pocket_cls_loss +
-             pocket_coord_loss + radius_loss)
+             pocket_coord_loss + radius_loss + flex_pocket_loss)
 
     # metrics mirroring the reference epoch stats (main_fabind.py:404-417)
     sd = jnp.sum((jax.lax.stop_gradient(out.coords) - batch.lig_coords) ** 2,
@@ -159,6 +171,7 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         "pocket_cls_loss": pocket_cls_loss,
         "pocket_coord_loss": pocket_coord_loss,
         "pocket_radius_loss": radius_loss,
+        "flex_pocket_coord_loss": flex_pocket_loss,
         "rmsd_mean": jnp.mean(rmsd),
         "rmsd_lt2": jnp.mean((rmsd < 2.0).astype(jnp.float32)),
         "rmsd_lt5": jnp.mean((rmsd < 5.0).astype(jnp.float32)),
