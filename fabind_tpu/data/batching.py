@@ -50,7 +50,9 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
     raw keys: protein_xyz [Nr,3] (CA), esm_feat [Nr,1280], lig_coords [n,3]
     (ground truth; absent at pure inference -> pass rdkit coords), lig_feats
     [n,56], bond_edges [E,2] (both directions), las_mask [n,n],
-    rdkit_coords [n,3].
+    rdkit_coords [n,3]. With use_esm2_feat=False, esm_feat may be absent and
+    protein_full_coords [Nr,4,3] supplies the 15-d geometric features
+    instead (featurize.protein_gvp_features).
     """
     rng = rng or np.random.RandomState()
     m = cfg.model
@@ -148,6 +150,24 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
     if las_full:
         las_adj = ~np.eye(coords.shape[0], dtype=bool)
 
+    if m.use_esm2_feat and not m.esm2_concat_raw:
+        prot_feat = np.asarray(raw["esm_feat"], np.float32)
+    else:
+        # 15-d geometric features need the 4-atom backbone; the reference's
+        # LMDB stores CA only (its non-ESM path is unreachable there too,
+        # utils.py:248-251) — the NPZ store carries protein_full_coords
+        from fabind_tpu.data.featurize import protein_gvp_features
+        if raw.get("protein_full_coords") is None:
+            raise KeyError(
+                "use_esm2_feat=False/esm2_concat_raw need protein_full_coords "
+                "[Nr,4,3] in the sample (produced by cli.preprocess)")
+        gvp = protein_gvp_features(raw["protein_full_coords"])
+        if m.esm2_concat_raw:   # 1280 + 15 (parsing.py --esm2-concat-raw)
+            prot_feat = np.concatenate(
+                [np.asarray(raw["esm_feat"], np.float32), gvp], axis=1)
+        else:
+            prot_feat = gvp
+
     return {
         "lig_feat": np.asarray(raw["lig_feats"], np.float32),
         "lig_coords": coords,
@@ -156,7 +176,7 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
         "bond_nbrs": nbrs,
         "bond_deg": deg,
         "las_adj": las_adj,
-        "prot_feat": np.asarray(raw["esm_feat"], np.float32),
+        "prot_feat": prot_feat,
         "prot_xyz": protein_xyz,
         "pocket_idx": pocket_idx,
         # pocket_idx_no_noise=True in both released configs (utils.py:432-435)

@@ -231,6 +231,55 @@ def extract_protein_structure(pdb_path: str) -> Dict:
     return {"seq": seq, "coords": coords}
 
 
+def _unit(v: np.ndarray, eps: float = 1e-8) -> np.ndarray:
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def protein_gvp_features(coords: np.ndarray) -> np.ndarray:
+    """15-d geometric residue features, the non-ESM protein representation.
+
+    numpy port of the gvp-pytorch node features the reference's legacy
+    `get_protein_feature` extracts (feature_utils.py:235-260; the reference's
+    own non-ESM path raises at utils.py:248-251, so no released checkpoint
+    fixes an ordering — we use [node_s(6) ‖ node_v.flatten(9)]):
+    - node_s: sin/cos of the backbone dihedrals (phi, psi, omega) per residue
+    - node_v: forward/backward CA unit vectors + imputed sidechain direction
+
+    coords: [N, 4, 3] (N, CA, C, O per residue) -> [N, 15] float32.
+    """
+    coords = np.asarray(coords, np.float32)
+    n_res = coords.shape[0]
+    eps = 1e-7
+
+    # dihedrals over the chained N-CA-C backbone
+    X = coords[:, :3].reshape(-1, 3)                      # [3N, 3]
+    dX = X[1:] - X[:-1]
+    U = _unit(dX)
+    u2, u1, u0 = U[:-2], U[1:-1], U[2:]
+    n2 = _unit(np.cross(u2, u1))
+    n1 = _unit(np.cross(u1, u0))
+    cosD = np.clip(np.sum(n2 * n1, -1), -1 + eps, 1 - eps)
+    D = np.sign(np.sum(u2 * n1, -1)) * np.arccos(cosD)
+    D = np.pad(D, (1, 2)).reshape(n_res, 3)
+    node_s = np.concatenate([np.cos(D), np.sin(D)], axis=1)        # [N, 6]
+
+    # orientations: forward/backward CA displacement unit vectors
+    ca = coords[:, 1]
+    fwd = np.pad(_unit(ca[1:] - ca[:-1]), ((0, 1), (0, 0)))
+    bwd = np.pad(_unit(ca[:-1] - ca[1:]), ((1, 0), (0, 0)))
+
+    # imputed sidechain (CB) direction from the N-CA-C frame
+    n_at, origin, c_at = coords[:, 0], coords[:, 1], coords[:, 2]
+    c_v, n_v = _unit(c_at - origin), _unit(n_at - origin)
+    bisector = _unit(c_v + n_v)
+    perp = _unit(np.cross(c_v, n_v))
+    side = -bisector * np.sqrt(1 / 3) - perp * np.sqrt(2 / 3)
+
+    node_v = np.stack([fwd, bwd, side], axis=1)                    # [N, 3, 3]
+    return np.concatenate([node_s, node_v.reshape(n_res, 9)],
+                          axis=1).astype(np.float32)
+
+
 _ESM_CACHE = {}
 
 

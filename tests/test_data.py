@@ -312,6 +312,48 @@ def test_bucketed_loader_routes_by_size():
     assert loader.n_dropped == 0
 
 
+def test_protein_gvp_features():
+    """15-d geometric residue features (the non-ESM protein path)."""
+    rng = np.random.RandomState(0)
+    nr = 12
+    # plausible backbone: residues along a curve, atoms jittered around CA
+    ca = np.cumsum(rng.randn(nr, 3).astype(np.float32) + [3.8, 0, 0], axis=0)
+    coords = np.stack([ca + rng.randn(nr, 3) * 0.5 for _ in range(4)], axis=1)
+    coords[:, 1] = ca
+    f = F.protein_gvp_features(coords)
+    assert f.shape == (nr, 15)
+    assert np.isfinite(f).all()
+    # dihedral block is sin/cos -> bounded
+    assert (np.abs(f[:, :6]) <= 1 + 1e-6).all()
+    # orientation + sidechain vectors are unit (or zero at chain ends)
+    v = f[:, 6:].reshape(nr, 3, 3)
+    n = np.linalg.norm(v, axis=-1)
+    assert np.allclose(n[1:-1], 1.0, atol=1e-5)
+    assert n[-1, 0] == 0.0 and n[0, 1] == 0.0   # fwd/bwd padding at ends
+    # sensitivity to geometry
+    coords2 = coords.copy()
+    coords2[5, 0] += 2.0
+    assert not np.allclose(F.protein_gvp_features(coords2), f)
+
+
+def test_build_sample_gvp_fallback():
+    """use_esm2_feat=False consumes protein_full_coords -> 15-d features."""
+    cfg = preset("fabind", max_ligand=16, max_pocket=32, max_protein=40,
+                 bond_k=4, use_esm2_feat=False)
+    raw = make_raw()
+    del raw["esm_feat"]
+    rng = np.random.RandomState(0)
+    ca = raw["protein_xyz"]
+    raw["protein_full_coords"] = np.stack(
+        [ca + 0.5, ca, ca - 0.5, ca + 0.2], axis=1)
+    s = build_sample(raw, cfg, group="test", rng=rng)
+    assert s["prot_feat"].shape == (ca.shape[0], 15)
+    with pytest.raises(KeyError):
+        build_sample({k: v for k, v in raw.items()
+                      if k != "protein_full_coords"}, cfg, group="test",
+                     rng=rng)
+
+
 def test_loader_workers_and_prefetch():
     """Threaded featurization + background prefetch must reproduce the
     synchronous loader bit-for-bit on eval groups (no rng use), preserve
