@@ -2,4 +2,12 @@
 
 from fabind_tpu.config import FABindConfig, ModelConfig, ShapeConfig, TrainConfig, preset
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+
+def __getattr__(name):
+    # lazy: serve pulls in jax/flax; keep bare `import fabind_tpu` light
+    if name in ("DockingEngine", "Pose"):
+        from fabind_tpu import serve
+        return getattr(serve, name)
+    raise AttributeError(name)

@@ -1,0 +1,110 @@
+"""Serving engine (fabind_tpu.serve.DockingEngine)."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from fabind_tpu.config import preset
+from fabind_tpu.serve import DockingEngine, Pose
+
+TINY = dict(max_ligand=16, max_pocket=24, max_protein=48, ctx_k=8,
+            ctx_k_whole=8, hidden_size=32, pocket_pred_hidden_size=16,
+            mean_layers=1, n_iter=2)
+
+
+def make_raw(n=9, nr=30, seed=0):
+    rng = np.random.RandomState(seed)
+    prot = rng.randn(nr, 3).astype(np.float32) * 2
+    prot[10:] += 1000.0          # only 10 residues form the pocket
+    lig = prot[:3].mean(0) + rng.randn(n, 3).astype(np.float32)
+    bond = []
+    for i in range(n - 1):
+        bond += [(i, i + 1), (i + 1, i)]
+    las = np.zeros((n, n), bool)
+    for i, j in bond:
+        las[i, j] = True
+    return dict(protein_xyz=prot,
+                esm_feat=rng.randn(nr, 1280).astype(np.float32),
+                lig_coords=lig, lig_feats=rng.randn(n, 56).astype(np.float32),
+                bond_edges=np.asarray(bond), las_mask=las,
+                rdkit_coords=lig + 0.1 * rng.randn(n, 3).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = preset("fabind", **TINY)
+    small = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
+                                max_protein=32)
+    return DockingEngine(cfg, buckets=[small, cfg.shapes], batch_size=2,
+                         bf16=True)
+
+
+def test_dock_raw_order_shapes_and_errors(engine):
+    raws = [make_raw(n=5, nr=20, seed=1),      # fits the small bucket
+            make_raw(n=12, nr=40, seed=2),     # needs the large bucket
+            make_raw(n=40, nr=40, seed=3),     # oversize ligand -> error
+            make_raw(n=6, nr=20, seed=4)]
+    poses = engine.dock_raw(raws)
+    assert len(poses) == 4
+    for i, n in [(0, 5), (1, 12), (3, 6)]:
+        assert poses[i].error is None
+        assert poses[i].coords.shape == (n, 3)
+        assert np.isfinite(poses[i].coords).all()
+    assert poses[2].error is not None and "exceeds" in poses[2].error
+    # world frame restored: poses live near the input protein, not at origin
+    p = raws[0]["protein_xyz"]
+    assert np.linalg.norm(poses[0].coords.mean(0) - p.mean(0)) < \
+        np.linalg.norm(p).max() + 50
+
+    # executables are cached per bucket
+    assert len(engine._fns) == 2
+    poses2 = engine.dock_raw(raws[:1])
+    np.testing.assert_allclose(poses2[0].coords, poses[0].coords, atol=1e-5)
+    assert len(engine._fns) == 2
+
+
+def test_dock_raw_flexible_returns_pocket():
+    cfg = preset("fabflex", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    poses = eng.dock_raw([make_raw(n=5, nr=20, seed=1)])
+    pose = poses[0]
+    assert pose.error is None
+    assert pose.pocket_coords is not None and pose.pocket_coords.shape[1] == 3
+    assert pose.pocket_residues is not None
+    assert len(pose.pocket_residues) == len(pose.pocket_coords)
+    assert np.isfinite(pose.pocket_coords).all()
+
+
+def test_dock_smiles_skip_and_continue(engine, monkeypatch):
+    """Featurization failures come back as error poses in request order."""
+    import fabind_tpu.data.featurize as F
+
+    def fake_read(smiles):
+        if smiles == "BAD":
+            raise ValueError("unparseable")
+        return object()
+
+    class FakeMol:
+        def GetNumAtoms(self):
+            return 5
+
+    raw = make_raw(n=5, nr=20, seed=1)
+
+    monkeypatch.setattr(F, "read_smiles", fake_read)
+    monkeypatch.setattr(F, "generate_conformation",
+                        lambda m, seed=None: FakeMol())
+    monkeypatch.setattr(F, "featurize_mol", lambda m: {
+        "coords": raw["lig_coords"], "feats": raw["lig_feats"],
+        "bond_edges": raw["bond_edges"], "las_mask": raw["las_mask"],
+        "smiles": "CCO"})
+    monkeypatch.setattr(F, "extract_protein_structure", lambda p: {
+        "seq": "A" * 20,
+        "coords": np.stack([raw["protein_xyz"]] * 4, axis=1)})
+    monkeypatch.setattr(F, "extract_esm_feature",
+                        lambda seq, device="cpu": raw["esm_feat"])
+
+    poses = engine.dock_smiles([("CCO", "x.pdb"), ("BAD", "x.pdb")])
+    assert len(poses) == 2
+    assert poses[0].error is None and poses[0].coords.shape == (5, 3)
+    assert isinstance(poses[0].mol, FakeMol)
+    assert poses[1].error is not None and "unparseable" in poses[1].error
