@@ -17,8 +17,9 @@ Serving configuration measured here (both are the library defaults):
   everything-padded-to-max configuration (ligand 96, pocket 160,
   protein 512) is measured with FABIND_BENCH_MAXSHAPES=1.
 
-Env overrides: FABIND_BENCH_BATCH (default 16), FABIND_BENCH_BF16
-(default 1), FABIND_BENCH_MAXSHAPES (default 0).
+Env overrides: FABIND_BENCH_BATCH (default 12 — swept 8/12/14/16/24 on-chip,
+b12 measures best at these shapes), FABIND_BENCH_BF16 (default 1),
+FABIND_BENCH_MAXSHAPES (default 0).
 
 Baseline: the FABind paper reports ~0.1 s/complex on an A100-class GPU
 (BASELINE.md (b)); vs_baseline = complexes_per_sec / 10.
@@ -47,7 +48,7 @@ def main():
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
 
-    batch_size = int(os.environ.get("FABIND_BENCH_BATCH", "16"))
+    batch_size = int(os.environ.get("FABIND_BENCH_BATCH", "12"))
     use_bf16 = os.environ.get("FABIND_BENCH_BF16", "1") == "1"
     max_shapes = os.environ.get("FABIND_BENCH_MAXSHAPES") == "1"
     if max_shapes:

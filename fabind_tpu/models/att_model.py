@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from fabind_tpu.config import ModelConfig
 from fabind_tpu.models.egnn import GraphInputs, MCAttEGNN, MCnoAttEGNN
-from fabind_tpu.models.layers import InteractionModule
+from fabind_tpu.models.layers import InteractionModule, RBFDistanceModule
 
 Array = jax.Array
 
@@ -58,16 +58,24 @@ class EfficientMCAttModel(nn.Module):
                 self.hidden_size, self.hidden_size,
                 rm_layernorm=cfg.rm_layernorm, name="inter_layer")
         if cfg.keep_trig_attn:
-            raise NotImplementedError("keep_trig_attn is off in all released "
-                                      "FABind configs")
+            # triangle-attention distance embeddings, built once per forward
+            # at recycle entry on detached coords (att_model.py:163-193);
+            # off in all released configs
+            self.p_p_dist_layer = RBFDistanceModule(
+                cfg.normalize(32.0), self.hidden_size, num_gaussian=32,
+                dropout_rate=cfg.dropout, name="p_p_dist_layer")
+            self.c_c_dist_layer = RBFDistanceModule(
+                cfg.normalize(16.0), self.hidden_size, num_gaussian=32,
+                dropout_rate=cfg.dropout, name="c_c_dist_layer")
 
     def _step(self, h: Array, x: Array, gi: GraphInputs, pair_embed,
-              pair_mask, deterministic: bool):
+              pair_mask, deterministic: bool, dist_embeds=(None, None)):
         cfg = self.cfg
         h_out, z, pair_out = self.gnn(
             h, x, gi, pair_embed, pair_mask,
             cfg.normalize(cfg.intra_cutoff), cfg.normalize(cfg.inter_cutoff),
-            self.ctx_k, deterministic=deterministic)
+            self.ctx_k, deterministic=deterministic,
+            p_p_dist_embed=dist_embeds[0], c_c_dist_embed=dist_embeds[1])
         if self.flexible:
             movable = gi.node_mask()[..., None]
         else:
@@ -102,6 +110,34 @@ class EfficientMCAttModel(nn.Module):
         else:
             pair_embed, pair_mask = None, None
 
+        dist_embeds = (None, None)
+        if cfg.keep_trig_attn:
+            # once per forward, detached entry coords (att_model.py:176-193);
+            # invalid pairs pushed to 1e6 so the RBF support is empty there.
+            # The reference always passes LAS_mask=None here (model.py:129 et
+            # al., which would crash its own logical_or) — we use the real
+            # LAS adjacency ∪ diagonal as the evident intent.
+            xs = jax.lax.stop_gradient(x)
+            ones = jnp.ones((B, 1), bool)
+            cm = jnp.concatenate([ones, gi.lig_mask], axis=1)
+            pm = jnp.concatenate([ones, gi.pkt_mask], axis=1)
+
+            def cdist(a):
+                d2 = jnp.sum((a[:, :, None, :] - a[:, None, :, :]) ** 2, -1)
+                return jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+            pp = cdist(xs[:, layout.pside_slice])
+            cc = cdist(xs[:, layout.cside_slice])
+            pp_mask = pm[:, :, None] & pm[:, None, :]
+            las_pad = jnp.pad(gi.las_adj, ((0, 0), (1, 0), (1, 0)))
+            cc_mask = las_pad.astype(bool) | (
+                jnp.eye(cm.shape[1], dtype=bool)[None] & cm[:, :, None])
+            pp = jnp.where(pp_mask, pp, 1e6)
+            cc = jnp.where(cc_mask, cc, 1e6)
+            dist_embeds = (
+                self.p_p_dist_layer(pp, deterministic=deterministic),
+                self.c_c_dist_layer(cc, deterministic=deterministic))
+
         if n_iter_override is None:
             n_iter = jnp.asarray(self.n_iter)
             if not deterministic and cfg.random_n_iter:
@@ -113,12 +149,13 @@ class EfficientMCAttModel(nn.Module):
         if self.is_initializing():
             # create gnn params before the while_loop (flax lifted loops do
             # not initialize parameters inside the loop body)
-            self._step(h, x, gi, pair_embed, pair_mask, deterministic)
+            self._step(h, x, gi, pair_embed, pair_mask, deterministic,
+                       dist_embeds)
 
         def body(mdl, carry):
             i, xc = carry
             _, x_new, _ = mdl._step(h, xc, gi, pair_embed, pair_mask,
-                                    deterministic)
+                                    deterministic, dist_embeds)
             return i + 1, jax.lax.stop_gradient(x_new)
 
         def cond(mdl, carry):
@@ -130,5 +167,5 @@ class EfficientMCAttModel(nn.Module):
                              broadcast_variables="params")
         x = jax.lax.stop_gradient(x)
         h_out, x, pair_out = self._step(h, x, gi, pair_embed, pair_mask,
-                                        deterministic)
+                                        deterministic, dist_embeds)
         return x, h_out, pair_out

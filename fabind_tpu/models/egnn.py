@@ -257,7 +257,9 @@ class InterAttention(nn.Module):
     @nn.compact
     def __call__(self, h: Array, x: Array, adj: Array, gi: GraphInputs,
                  pair_embed: Optional[Array], pair_mask: Optional[Array],
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 p_p_dist_embed: Optional[Array] = None,
+                 c_c_dist_embed: Optional[Array] = None):
         cfg = self.cfg
         layout = gi.layout
         B = h.shape[0]
@@ -283,7 +285,10 @@ class InterAttention(nn.Module):
                     mha_heads=cfg.mha_heads,
                     name="cross_attn_module",
                 )(p_side, p_mask_side, c_side, c_mask_side,
-                  pair_embed, pair_mask, deterministic=deterministic)
+                  pair_embed, pair_mask,
+                  p_p_dist_embed=p_p_dist_embed,
+                  c_c_dist_embed=c_c_dist_embed,
+                  deterministic=deterministic)
                 h = layout.scatter_sides(c_side, p_side)
             else:
                 upd, _ = InteractionModule(
@@ -418,7 +423,9 @@ class MCAttEGNN(nn.Module):
     def __call__(self, h: Array, x: Array, gi: GraphInputs,
                  pair_embed: Optional[Array], pair_mask: Optional[Array],
                  intra_cutoff: float, inter_cutoff: float, ctx_k: int,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 p_p_dist_embed: Optional[Array] = None,
+                 c_c_dist_embed: Optional[Array] = None):
         cfg = self.cfg
         layout = gi.layout
         coord_max = cfg.normalize(10.0)
@@ -449,7 +456,9 @@ class MCAttEGNN(nn.Module):
             x = maybe_fix(x, x_new)
             h, x_new, pair_new = InterAttention(
                 cfg, self.hidden, coord_max, name=f"att_{i}")(
-                    h, x, adj, gi, pair_embed, pair_mask, deterministic)
+                    h, x, adj, gi, pair_embed, pair_mask, deterministic,
+                    p_p_dist_embed=p_p_dist_embed,
+                    c_c_dist_embed=c_c_dist_embed)
             # FABind+ threads the updated pair embedding through the stack
             # (plus egnn.py:380-392); base DISCARDS it — MC_Att_L.forward
             # returns only (h, coord, att) and MCAttEGNN never reassigns
@@ -581,7 +590,9 @@ class MCnoAttEGNN(nn.Module):
     def __call__(self, h: Array, x: Array, gi: GraphInputs,
                  pair_embed: Optional[Array], pair_mask: Optional[Array],
                  intra_cutoff: float, inter_cutoff: float, ctx_k: int,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 p_p_dist_embed: Optional[Array] = None,
+                 c_c_dist_embed: Optional[Array] = None):
         cfg = self.cfg
         layout = gi.layout
         coord_max = cfg.normalize(10.0)
@@ -630,7 +641,10 @@ class MCnoAttEGNN(nn.Module):
                 if cfg.add_cross_attn_layer:
                     p_side, c_side, pair_embed = cross(
                         p_side, p_mask_side, c_side, c_mask_side,
-                        pair_embed, pair_mask, deterministic=deterministic)
+                        pair_embed, pair_mask,
+                        p_p_dist_embed=p_p_dist_embed,
+                        c_c_dist_embed=c_c_dist_embed,
+                        deterministic=deterministic)
                     h = layout.scatter_sides(c_side, p_side)
                 else:
                     upd, _ = inter_layer(p_side, c_side, p_mask_side,

@@ -17,6 +17,7 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Array = jax.Array
@@ -236,9 +237,11 @@ class GaussianSmearing(nn.Module):
 
     @nn.compact
     def __call__(self, dist: Array) -> Array:
-        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        # static (numpy) offsets: traced jnp.linspace cannot be concretized
+        # for the coefficient under jit
+        offset = np.linspace(self.start, self.stop, self.num_gaussians)
         coeff = -0.5 / float(offset[1] - offset[0]) ** 2
-        d = dist[..., None] - offset
+        d = dist[..., None] - jnp.asarray(offset, dist.dtype)
         return jnp.exp(coeff * d * d)
 
 

@@ -39,6 +39,10 @@ def _to_flax_path(torch_key: str) -> Tuple[List[str], str]:
     if mods and mods[-1] == "linear_kv":
         name = "linear_kv_kernel" if leaf == "weight" else "linear_kv_bias"
         return mods[:-1] + [name], "flat"
+    # special case: RBFDistanceModule's Sequential is named 'mlp'
+    # (model_utils.py:239-252) -> flax mlp_0 / mlp_3
+    if len(mods) >= 2 and mods[-2] == "mlp" and mods[-1] in ("0", "3"):
+        return mods[:-2] + [f"mlp_{mods[-1]}"], leaf
     mods = [_RENAMES.get(m, m) for m in mods]
     return mods, leaf
 

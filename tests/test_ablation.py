@@ -25,7 +25,7 @@ CS = 5.0
 
 
 def _run_ablation(flag: str, n_layers: int = 2, n_iter: int = 2,
-                  atol: float = 2e-4):
+                  atol: float = 2e-4, pass_las_mask: bool = False):
     ref = load_ref_models(REF_BASE)
     args = base_args(**{flag: True})
     torch.manual_seed(0)
@@ -36,6 +36,18 @@ def _run_ablation(flag: str, n_layers: int = 2, n_iter: int = 2,
     tm.eval()
 
     torch_in, flax_in, specs = make_complex_inputs(0, SPECS, HID, CS)
+    extra = {}
+    if pass_las_mask:
+        # the reference's drivers always pass LAS_mask=None (model.py:129),
+        # which crashes its own keep_trig branch — feed the dense
+        # glb-padded LAS adjacency both sides use
+        nmax = 1 + max(s["n_lig"] for s in specs)
+        M = np.zeros((len(specs), nmax, nmax), bool)
+        for b, s in enumerate(specs):
+            nl = s["n_lig"]
+            M[b, 1:1 + nl, 1:1 + nl] = np.asarray(
+                flax_in["las_adj"])[b, :nl, :nl]
+        extra["LAS_mask"] = torch.from_numpy(M)
     with torch.no_grad():
         X, H = tm(
             torch_in["X"].clone(), torch_in["H"].clone(),
@@ -43,7 +55,8 @@ def _run_ablation(flag: str, n_layers: int = 2, n_iter: int = 2,
             mask=torch_in["mask"], is_global=torch_in["is_global"],
             compound_edge_index=torch_in["compound_edge_index"],
             LAS_edge_index=torch_in["LAS_edge_index"],
-            batched_complex_coord_LAS=torch_in["batched_complex_coord_LAS"].clone())
+            batched_complex_coord_LAS=torch_in["batched_complex_coord_LAS"].clone(),
+            **extra)
     x_ref = X[:, 0].numpy()
     h_ref = H.numpy()
 
@@ -69,9 +82,17 @@ def _run_ablation(flag: str, n_layers: int = 2, n_iter: int = 2,
         tm.state_dict(), variables["params"])
     assert not missing, f"unconverted flax leaves: {missing[:8]}"
     # with add_cross_attn_layer on, the reference's stack-level inter_layer
-    # is dead (egnn.py:638-643 only runs it when add_cross_attn_layer is off)
+    # is dead (egnn.py:638-643 only runs it when add_cross_attn_layer is
+    # off); triangle_block_column is created but never called — the
+    # reference forward applies triangle_block_row to both orientations
+    # (cross_att.py:31-36)
     for key in unused:
-        assert ".inter_layer." in key, f"unexpectedly unused torch key {key}"
+        # .rbf.offset is a registered buffer (a deterministic linspace the
+        # flax GaussianSmearing recomputes statically), not a parameter
+        assert (".inter_layer." in key
+                or ".triangle_block_column." in key
+                or key.endswith(".rbf.offset")), \
+            f"unexpectedly unused torch key {key}"
 
     x_out, h_out, _ = jax.jit(
         lambda p, x, h: fm.apply({"params": p}, x, h, gi, deterministic=True)
@@ -98,6 +119,13 @@ def _run_ablation(flag: str, n_layers: int = 2, n_iter: int = 2,
             np.testing.assert_allclose(
                 got_h, ref_h_parts[b], atol=atol * 10,
                 err_msg=f"{flag} h diverges ({part}, sample {b})")
+
+
+def test_golden_keep_trig_attn():
+    """Triangle attention over pair rows + RBF distance embeddings
+    (cross_att.py:24-36, att_model.py:166-193), golden vs the real torch
+    modules."""
+    _run_ablation("keep_trig_attn", pass_las_mask=True, atol=5e-4)
 
 
 def test_golden_ablation_no_attention():
