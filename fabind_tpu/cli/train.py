@@ -92,9 +92,13 @@ def main(argv=None):
     logger.log_message(
         f"splits: {({k: len(v) for k, v in splits.items()})}")
 
+    # multi-host: each process feeds its own strided slice of the epoch
+    # (replaces the reference's DDP DistributedSampler, SURVEY §2.3)
+    shard = ((jax.process_index(), jax.process_count())
+             if jax.process_count() > 1 else None)
     train_loader = Loader(source, splits["train"], cfg, group="train",
                           seed=cfg.train.seed, workers=args.workers,
-                          prefetch_depth=args.prefetch)
+                          prefetch_depth=args.prefetch, host_shard=shard)
     valid_loader = Loader(source, splits.get("valid", []), cfg, group="valid",
                           workers=args.workers,
                           prefetch_depth=args.prefetch)

@@ -23,7 +23,7 @@ import queue
 import threading
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -209,15 +209,23 @@ class Loader:
     (per-sample PRNG streams derived from the epoch seed keep it
     deterministic for any worker count); `prefetch_depth` additionally runs
     the whole batching loop in a background thread so the host pipeline
-    overlaps with device compute. Both default off (synchronous)."""
+    overlaps with device compute. Both default off (synchronous).
+
+    `host_shard=(process_index, process_count)` restricts this loader to a
+    strided slice of the indices — the multi-host input sharding that
+    replaces the reference's DDP DistributedSampler (SURVEY §2.3; each host
+    feeds its own slice of the dp batch; shuffling stays deterministic
+    because every host derives the same epoch permutation before slicing)."""
 
     def __init__(self, source, indices: Sequence, cfg: FABindConfig,
                  group: str = "train", batch_size: Optional[int] = None,
                  seed: int = 0, drop_oversize: bool = True,
                  buckets: Optional[Sequence] = None, workers: int = 0,
-                 prefetch_depth: int = 0):
+                 prefetch_depth: int = 0,
+                 host_shard: Optional[Tuple[int, int]] = None):
         self.source = source
         self.indices = list(indices)
+        self.host_shard = host_shard
         self.cfg = cfg
         self.group = group
         self.batch_size = batch_size or cfg.train.batch_size
@@ -302,6 +310,9 @@ class Loader:
         order = list(self.indices)
         if self.group == "train":
             rng.shuffle(order)
+        if self.host_shard is not None:
+            pi, pc = self.host_shard
+            order = order[pi::pc]
         bufs = {id(c): ([], [], c) for c in self.bucket_cfgs}
 
         def emit(buf, pdbs, cfg_b, n_real):

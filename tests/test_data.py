@@ -400,3 +400,32 @@ def test_loader_workers_and_prefetch():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer died"):
         next(it)
+
+
+def test_loader_host_shard_partitions_epoch():
+    """host_shard slices the (shared, deterministic) epoch permutation:
+    every index is served by exactly one host."""
+    import numpy as np
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader
+
+    cfg = preset("fabind", max_ligand=16, max_pocket=32, max_protein=40,
+                 ctx_k=8, ctx_k_whole=8, batch_size=1)
+
+    served = {}
+
+    class Src:
+        samples = [make_raw(seed=i) for i in range(7)]
+        def get(self, idx):
+            served.setdefault(idx, 0)
+            served[idx] += 1
+            return dict(self.samples[idx], pdb=f"x{idx}")
+
+    seen = []
+    for pi in range(2):
+        ld = Loader(Src(), range(7), cfg, group="train", seed=9,
+                    host_shard=(pi, 2))
+        for _, meta in ld.epoch(4, with_meta=True):
+            seen += meta["pdb"]
+    assert sorted(seen) == sorted(f"x{i}" for i in range(7))
+    assert all(v == 1 for v in served.values())
