@@ -53,7 +53,9 @@ def main(argv=None):
                    help="comma list of shape buckets 'lig:pocket:protein' "
                         "(small->large); each complex runs in the smallest "
                         "bucket it fits — one jit specialization per bucket "
-                        "instead of padding everything to the maximum")
+                        "instead of padding everything to the maximum. "
+                        "'auto' (or 'auto:K') measures the split's size "
+                        "distribution and infers up to K (default 3) buckets")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the eval loop")
     p.add_argument("--workers", type=int, default=8,
@@ -106,7 +108,15 @@ def main(argv=None):
         assert all(str(pdb_col.iloc[i]) in wanted for i in indices)
         print(f"unseen subset: {len(indices)} of {len(wanted)} ids present")
     buckets = None
-    if args.buckets:
+    if args.buckets and args.buckets.startswith("auto"):
+        from fabind_tpu.data.buckets import measure_sizes, suggest_buckets
+        k = int(args.buckets.split(":")[1]) if ":" in args.buckets else 3
+        sizes = measure_sizes(source, indices, cfg, group=args.split,
+                              limit=512)
+        buckets = suggest_buckets(sizes, cfg, k=k)
+        print("auto buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)
+                                for s in buckets])
+    elif args.buckets:
         import dataclasses
         buckets = []
         for spec in args.buckets.split(","):

@@ -1,0 +1,133 @@
+"""Automatic shape-bucket inference.
+
+Shape buckets are the TPU-native replacement for the reference's per-sample
+dynamic torch shapes (see DESIGN.md "Measured performance"): each complex
+runs in the smallest bucket it fits, one jit specialization per bucket.
+Picking the buckets by hand requires knowing the dataset's size
+distribution; `suggest_buckets` measures it and proposes a small set that
+minimizes padded compute under the profiled cost model (the per-recycle hot
+path is dominated by the pair chains, cost ∝ (1+Nc)·(1+Np), with an
+O(Nr) whole-protein pocket-prediction term).
+
+No reference counterpart: the reference pays ragged-batch overhead per
+sample instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fabind_tpu.config import FABindConfig
+
+
+def measure_sizes(source, indices: Sequence, cfg: FABindConfig,
+                  group: str = "test", limit: Optional[int] = None
+                  ) -> np.ndarray:
+    """[n, 3] int array of (n_ligand, n_pocket, n_protein) per sample.
+
+    Builds samples host-side (featurization only, no device work); `limit`
+    subsamples evenly for large datasets."""
+    from fabind_tpu.data.batching import build_sample
+
+    idx = list(indices)
+    if limit is not None and len(idx) > limit:
+        idx = [idx[i] for i in
+               np.linspace(0, len(idx) - 1, limit).astype(int)]
+    rng = np.random.RandomState(0)
+    sizes = []
+    for i in idx:
+        raw = source.get(i)
+        s = build_sample(raw, cfg, group=group, rng=rng)
+        sizes.append((s["lig_feat"].shape[0], len(s["pocket_idx"]),
+                      s["prot_xyz"].shape[0]))
+    return np.asarray(sizes, np.int64)
+
+
+def _pad8(v: int) -> int:
+    return int(-(-v // 8) * 8)
+
+
+def _cost(sizes: np.ndarray, dims: Tuple[int, int, int]) -> float:
+    """Padded compute for `sizes` run at bucket `dims`: pair-chain term
+    (1+Nc)(1+Np) + the whole-protein pocket-pred term (lighter hidden dim,
+    weighted down accordingly)."""
+    lig, pkt, prot = dims
+    # docking pair chains at hidden 512 + pocket-pred pair at hidden 128
+    return len(sizes) * ((1 + lig) * (1 + pkt)
+                         + 0.25 * (1 + lig) * (1 + prot))
+
+
+def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3
+                    ) -> List:
+    """Partition the size distribution into ≤ k buckets (exact DP over a
+    sorted size key) and return a small->large list of ShapeConfig suitable
+    for `Loader(buckets=...)` / `DockingEngine(buckets=...)`.
+
+    The largest bucket always equals cfg.shapes so nothing is dropped that
+    the base config would have accepted; dims are rounded up to multiples
+    of 8 (sublane-friendly) and clamped to cfg.shapes.
+    """
+    base = cfg.shapes
+    fit = (sizes[:, 0] <= base.max_ligand) & (sizes[:, 2] <= base.max_protein)
+    sizes = sizes[fit]
+    if sizes.shape[0] == 0 or k <= 1:
+        return [base]
+
+    key = (1 + sizes[:, 0]).astype(np.float64) * (1 + sizes[:, 1])
+    order = np.argsort(key)
+    s = sizes[order]
+    n = s.shape[0]
+    # prefix maxima so any contiguous group's bucket dims are O(1)
+    pre_max = np.maximum.accumulate(s, axis=0)
+
+    def group_dims(i: int, j: int) -> Tuple[int, int, int]:
+        """Bucket dims covering sorted samples i..j inclusive (group maxima
+        over ALL axes — the key orders by pair cost, so per-axis maxima
+        need the true running max of the tail)."""
+        m = np.max(s[i:j + 1], axis=0)
+        return (min(_pad8(int(m[0])), base.max_ligand),
+                min(_pad8(int(m[1])), base.max_pocket),
+                min(_pad8(int(m[2])), base.max_protein))
+
+    # DP: best[j][g] = min cost covering first j samples with g groups
+    INF = float("inf")
+    best = np.full((n + 1, k + 1), INF)
+    back = np.zeros((n + 1, k + 1), np.int64)
+    best[0, 0] = 0.0
+    for j in range(1, n + 1):
+        for g in range(1, k + 1):
+            for i in range(j):
+                if best[i, g - 1] == INF:
+                    continue
+                c = best[i, g - 1] + _cost(s[i:j], group_dims(i, j - 1))
+                if c < best[j, g]:
+                    best[j, g] = c
+                    back[j, g] = i
+    g = int(np.argmin(best[n, 1:]) + 1)
+    cuts = []
+    j = n
+    while g > 0:
+        i = int(back[j, g])
+        cuts.append((i, j - 1))
+        j, g = i, g - 1
+    cuts.reverse()
+
+    dims = [group_dims(i, j) for i, j in cuts]
+    shapes = []
+    seen = set()
+    for lig, pkt, prot in dims:
+        t = (lig, pkt, prot)
+        if t in seen:
+            continue
+        seen.add(t)
+        shapes.append(dataclasses.replace(base, max_ligand=lig,
+                                          max_pocket=pkt, max_protein=prot))
+    # the drop boundary stays the configured maximum
+    if not any(sh.max_ligand == base.max_ligand
+               and sh.max_pocket == base.max_pocket
+               and sh.max_protein == base.max_protein for sh in shapes):
+        shapes.append(base)
+    shapes.sort(key=lambda sh: (sh.max_ligand, sh.max_pocket, sh.max_protein))
+    return shapes

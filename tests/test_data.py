@@ -353,6 +353,16 @@ def test_build_sample_gvp_fallback():
                       if k != "protein_full_coords"}, cfg, group="test",
                      rng=rng)
 
+    # esm2_concat_raw: [ESM 1280 ‖ geometric 15] (parsing.py --esm2-concat-raw;
+    # model dim model.py:57)
+    cfg2 = preset("fabind", max_ligand=16, max_pocket=32, max_protein=40,
+                  bond_k=4, esm2_concat_raw=True)
+    raw2 = dict(raw, esm_feat=np.random.RandomState(1).randn(
+        ca.shape[0], 1280).astype(np.float32))
+    s2 = build_sample(raw2, cfg2, group="test", rng=rng)
+    assert s2["prot_feat"].shape == (ca.shape[0], 1295)
+    np.testing.assert_array_equal(s2["prot_feat"][:, 1280:], s["prot_feat"])
+
 
 def test_loader_workers_and_prefetch():
     """Threaded featurization + background prefetch must reproduce the
@@ -400,6 +410,46 @@ def test_loader_workers_and_prefetch():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer died"):
         next(it)
+
+
+def test_suggest_buckets():
+    """Auto-bucket inference: small/large populations get separate buckets,
+    dims are 8-padded, clamped, and the drop boundary stays cfg.shapes."""
+    import numpy as np
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.buckets import measure_sizes, suggest_buckets
+
+    cfg = preset("fabind", max_ligand=64, max_pocket=96, max_protein=256,
+                 ctx_k=8, ctx_k_whole=8)
+
+    rng = np.random.RandomState(0)
+    small = np.stack([rng.randint(5, 12, 40), rng.randint(8, 20, 40),
+                      rng.randint(20, 40, 40)], 1)
+    large = np.stack([rng.randint(40, 60, 10), rng.randint(60, 90, 10),
+                      rng.randint(150, 250, 10)], 1)
+    sizes = np.concatenate([small, large])
+    shapes = suggest_buckets(sizes, cfg, k=3)
+    assert shapes[-1] == cfg.shapes              # drop boundary preserved
+    assert all(s.max_ligand % 8 == 0 or s.max_ligand == 64 for s in shapes)
+    # the small population fits a much smaller bucket than the max
+    assert shapes[0].max_ligand <= 16 and shapes[0].max_pocket <= 24
+    # every sample fits some bucket
+    for n_lig, n_pkt, n_prot in sizes:
+        assert any(n_lig <= s.max_ligand and n_prot <= s.max_protein
+                   for s in shapes)
+    # oversize samples are excluded from sizing, boundary still cfg.shapes
+    sizes2 = np.concatenate([sizes, [[200, 10, 20]]])
+    shapes2 = suggest_buckets(sizes2, cfg, k=2)
+    assert shapes2[-1] == cfg.shapes
+
+    # measure_sizes end-to-end over a tiny source
+    class Src:
+        samples = [make_raw(n=6, nr=25, seed=i) for i in range(4)]
+        def get(self, idx):
+            return self.samples[idx]
+    got = measure_sizes(Src(), range(4), cfg, limit=3)
+    assert got.shape == (3, 3)
+    assert (got[:, 0] == 6).all() and (got[:, 2] == 25).all()
 
 
 def test_loader_host_shard_partitions_epoch():

@@ -1,4 +1,7 @@
 """Probe: node-count alignment (258 vs 256) for the bf16 inference path."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 import time, sys
 import jax, jax.numpy as jnp

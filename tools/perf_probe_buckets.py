@@ -1,4 +1,7 @@
 """Probe: shapes that fit the benchmarked complexes (bucketed serving)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses, time, sys
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")

@@ -1,4 +1,7 @@
 """Capture a TPU trace of bf16 inference and print the top ops (scratch)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dataclasses
 import glob
 import gzip
