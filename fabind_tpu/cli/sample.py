@@ -52,6 +52,34 @@ def dbscan_cluster_centers(cls_probs: np.ndarray, coords: np.ndarray,
     return centers
 
 
+def _pocket_half_impl(model, params, batch):
+    return model.apply({"params": params}, batch,
+                       method="_pocket_pred", deterministic=True)
+
+
+def _dock_half_impl(model, params, batch, center, key):
+    def run(mdl, batch, center):
+        return mdl.inference(batch, center_override=center,
+                             deterministic=False)
+    return model.apply({"params": params}, batch, center,
+                       method=run, rngs={"dropout": key, "sample": key})
+
+
+_JITTED = {}
+
+
+def _halves(model):
+    """Jitted (pocket_half, dock_half) cached per model instance — flax
+    modules are frozen dataclasses, so the same model reuses its compiled
+    executables across sample_poses calls (one per serving bucket)."""
+    import jax
+    if model not in _JITTED:
+        _JITTED[model] = (
+            jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
+            jax.jit(lambda p, b, c, k, m=model: _dock_half_impl(m, p, b, c, k)))
+    return _JITTED[model]
+
+
 def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
                  use_clustering: Optional[bool] = None):
     """Run sample_size stochastic inference passes; returns
@@ -63,19 +91,7 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     m = cfg.model
     use_clustering = (m.use_clustering if use_clustering is None
                       else use_clustering)
-
-    @jax.jit
-    def pocket_half(params, batch):
-        return model.apply({"params": params}, batch,
-                           method="_pocket_pred", deterministic=True)
-
-    @jax.jit
-    def dock_half(params, batch, center, key):
-        def run(mdl, batch, center):
-            return mdl.inference(batch, center_override=center,
-                                 deterministic=False)
-        return model.apply({"params": params}, batch, center,
-                           method=run, rngs={"dropout": key, "sample": key})
+    pocket_half, dock_half = _halves(model)
 
     compound_out, protein_out, cls_logits, radius_pred = pocket_half(
         params, batch)

@@ -156,14 +156,15 @@ class DockingEngine:
         return self._fns[key]
 
     # ------------------------------------------------------------- serving
-    def dock_raw(self, raws: Sequence[Dict[str, np.ndarray]]) -> List[Pose]:
-        """Dock prebuilt raw-feature dicts (see data.batching.build_sample for
-        the schema). Returns one Pose per request, in request order; requests
-        that fail featurization/routing come back as Pose(error=...)."""
+    def _routed_batches(self, raws: Sequence[Dict[str, np.ndarray]],
+                        results: List[Optional[Pose]]):
+        """Route requests to buckets and yield fixed-size batches:
+        (chunk [(req_pos, sample)...], cfg_b, batch, n_real). Requests that
+        fail featurization/routing are written to `results` as error
+        Poses."""
         from fabind_tpu.data.batching import build_sample, collate
 
-        samples: List[Tuple[int, Dict, Dict]] = []   # (req_pos, sample, raw)
-        results: List[Optional[Pose]] = [None] * len(raws)
+        samples: List[Tuple[int, Dict, FABindConfig]] = []
         for pos, raw in enumerate(raws):
             try:
                 s = build_sample(raw, self.cfg, group="test")
@@ -175,7 +176,6 @@ class DockingEngine:
                 continue
             samples.append((pos, s, cfg_b))
 
-        # group by bucket, run fixed-size batches
         by_bucket: Dict[int, List[Tuple[int, Dict]]] = {}
         cfg_of: Dict[int, FABindConfig] = {}
         for pos, s, cfg_b in samples:
@@ -183,7 +183,6 @@ class DockingEngine:
             cfg_of[id(cfg_b)] = cfg_b
         for key, items in by_bucket.items():
             cfg_b = cfg_of[key]
-            fn = self._fn(cfg_b)
             for i in range(0, len(items), self.batch_size):
                 chunk = items[i:i + self.batch_size]
                 n_real = len(chunk)
@@ -193,21 +192,55 @@ class DockingEngine:
                 batch = collate(ss, cfg_b, n_valid=n_real)
                 if self.bf16:
                     batch = _cast_batch_bf16(batch)
-                lig, conf, pkt, idx, mask = fn(self.params, batch)
-                lig = np.asarray(lig, np.float32)
-                conf = np.asarray(conf, np.float32)
-                for b in range(n_real):
-                    pos, s = chunk[b]
-                    n = int(np.asarray(s["lig_feat"]).shape[0])
-                    off = np.asarray(s["coord_offset"])
-                    pose = Pose(coords=lig[b, :n] + off,
-                                confidence=float(conf[b]))
-                    if pkt is not None:
-                        m = np.asarray(mask[b])
-                        pose.pocket_coords = (
-                            np.asarray(pkt, np.float32)[b][m] + off)
-                        pose.pocket_residues = np.asarray(idx[b])[m]
-                    results[pos] = pose
+                yield chunk, cfg_b, batch, n_real
+
+    def dock_raw(self, raws: Sequence[Dict[str, np.ndarray]]) -> List[Pose]:
+        """Dock prebuilt raw-feature dicts (see data.batching.build_sample for
+        the schema). Returns one Pose per request, in request order; requests
+        that fail featurization/routing come back as Pose(error=...)."""
+        results: List[Optional[Pose]] = [None] * len(raws)
+        for chunk, cfg_b, batch, n_real in self._routed_batches(raws, results):
+            fn = self._fn(cfg_b)
+            lig, conf, pkt, idx, mask = fn(self.params, batch)
+            lig = np.asarray(lig, np.float32)
+            conf = np.asarray(conf, np.float32)
+            for b in range(n_real):
+                pos, s = chunk[b]
+                n = int(np.asarray(s["lig_feat"]).shape[0])
+                off = np.asarray(s["coord_offset"])
+                pose = Pose(coords=lig[b, :n] + off,
+                            confidence=float(conf[b]))
+                if pkt is not None:
+                    m = np.asarray(mask[b])
+                    pose.pocket_coords = (
+                        np.asarray(pkt, np.float32)[b][m] + off)
+                    pose.pocket_residues = np.asarray(idx[b])[m]
+                results[pos] = pose
+        return results   # type: ignore[return-value]
+
+    def dock_best_of(self, raws: Sequence[Dict[str, np.ndarray]],
+                     sample_size: int = 40, seed: int = 0) -> List[Pose]:
+        """FABind+ best-of-N sampling as a library call (reference
+        inference_sampling_fabind.py:172-210): `sample_size` stochastic
+        docking passes per request (dropout on, optional host DBSCAN pocket
+        centers when cfg.model.use_clustering), keep the pose with the
+        highest confidence. Executables are cached per bucket like
+        dock_raw's."""
+        from fabind_tpu.cli.sample import sample_poses
+
+        results: List[Optional[Pose]] = [None] * len(raws)
+        for chunk, cfg_b, batch, n_real in self._routed_batches(raws, results):
+            coords, scores = sample_poses(
+                self._models[id(cfg_b)], self.params, batch, cfg_b,
+                sample_size, seed=seed)                # [S, B, Nc, 3], [S, B]
+            best = np.argmax(scores, axis=0)           # [B]
+            for b in range(n_real):
+                pos, s = chunk[b]
+                n = int(np.asarray(s["lig_feat"]).shape[0])
+                off = np.asarray(s["coord_offset"])
+                results[pos] = Pose(
+                    coords=coords[best[b], b, :n].astype(np.float32) + off,
+                    confidence=float(scores[best[b], b]))
         return results   # type: ignore[return-value]
 
     def dock_smiles(self, requests: Sequence[Tuple[str, str]]) -> List[Pose]:

@@ -75,6 +75,21 @@ def test_dock_raw_flexible_returns_pocket():
     assert np.isfinite(pose.pocket_coords).all()
 
 
+def test_dock_best_of_sampling():
+    """Best-of-N stochastic sampling through the engine (FABind+ sampling
+    pipeline, inference_sampling_fabind.py:172-210)."""
+    cfg = preset("fabind_plus_sampling", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    raws = [make_raw(n=5, nr=20, seed=1), make_raw(n=6, nr=20, seed=2)]
+    poses = eng.dock_best_of(raws, sample_size=2, seed=0)
+    assert len(poses) == 2
+    for pose, n in zip(poses, (5, 6)):
+        assert pose.error is None
+        assert pose.coords.shape == (n, 3)
+        assert np.isfinite(pose.coords).all()
+        assert np.isfinite(pose.confidence)
+
+
 def test_dock_smiles_skip_and_continue(engine, monkeypatch):
     """Featurization failures come back as error poses in request order."""
     import fabind_tpu.data.featurize as F

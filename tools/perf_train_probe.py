@@ -26,10 +26,12 @@ def run(name, B, bf16):
     jax.block_until_ready(m)
     log(f"[{name}] compile+1st {time.perf_counter()-t:.0f}s")
     t = time.perf_counter()
-    iters = 5
+    iters = 10
     for _ in range(iters):
         state, m = step(state, batch)
-    jax.block_until_ready(m)
+        # block every step: metrics alone under-measure (the dict can be
+        # computed from the fwd pass while the bwd/update still runs)
+        jax.block_until_ready((state.params, m))
     dt = time.perf_counter() - t
     log(f"[{name}] {B*iters/dt:.1f} complexes/s train ({dt/iters*1000:.0f} ms/step) loss={float(m['loss']):.3f}")
 
