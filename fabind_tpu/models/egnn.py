@@ -370,8 +370,8 @@ class InterAttention(nn.Module):
             # coord: Σ_s A * coord_mlp(v_edge) * diff  (egnn.py:239-252)
             if decompose:
                 l1_v = coord_mlp.l1(v_node_s)                    # [B,Ns,H]
-                pre = l1_v[:, None, :, :] + r_ds[..., None] * u_r
-                phi = coord_mlp.finish_scalar(pre, deterministic=deterministic)
+                phi = coord_mlp.finish_scalar_rank1(
+                    l1_v, r_ds, u_r, deterministic=deterministic)
             else:
                 v_edge = v_node_s[:, None, :, :] + r_ds[..., None] * v_r
                 phi = coord_mlp.scalar_call(v_edge, deterministic=deterministic)

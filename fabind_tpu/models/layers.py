@@ -13,6 +13,7 @@ rename + transpose.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -116,6 +117,36 @@ class MLPBlock(nn.Module):
         if self.use_ln:
             x = self.layernorm(x)
         return self.finish_scalar(self.linear1(x), deterministic)
+
+    def finish_scalar_rank1(self, l1_v: Array, r: Array, u: Array,
+                            deterministic: bool = True) -> Array:
+        """finish_scalar over the rank-1-structured pre-activation
+        `pre[b,d,n,:] = l1_v[b,n,:] + r[b,d,n] * u` without materializing it.
+
+        This is the InterAttention coord gate (reference egnn.py:227-252 runs
+        coord_mlp over every edge value v_node[src] + radial * v_r). With
+        FABIND_USE_PALLAS=1 on TPU the broadcast+act+reduce runs as a Pallas
+        kernel over VMEM-resident tiles (ops/pallas/edge_gate.py); the
+        default is the jnp path, which XLA fuses into one loop and measures
+        faster end-to-end (105.6 vs 101.8 complexes/s at the bench config —
+        see DESIGN.md "Pallas decision").
+        """
+        assert self.out_dim == 1 and not self.last_act and not self.use_ln
+        drop_active = (self.dropout_rate > 0 and not deterministic
+                       and self.dropout_pos in ("inner", "both"))
+        use_pallas = (jax.default_backend() == "tpu"
+                      and os.environ.get("FABIND_USE_PALLAS") == "1"
+                      and not drop_active and not self.is_initializing()
+                      and self.act in ("silu", "relu"))
+        if not use_pallas:
+            pre = l1_v[:, None, :, :] + r[..., None] * u
+            return self.finish_scalar(pre, deterministic)
+        from fabind_tpu.ops.pallas.edge_gate import phi_rank1_tpu
+        p = self.get_variable("params", "linear2")
+        out = phi_rank1_tpu(l1_v, r, u, p["kernel"][:, 0], self.act)
+        if self.bias_out:
+            out = out + p["bias"][0]
+        return out
 
 
 class Transition(nn.Module):

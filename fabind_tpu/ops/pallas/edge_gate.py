@@ -80,11 +80,40 @@ def phi_rank1_pallas(l1_v: Array, r: Array, u: Array, w2: Array,
     )(l1_v, r, u.reshape(1, H), w2.reshape(1, H))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def phi_rank1_tpu(l1_v: Array, r: Array, u: Array, w2: Array,
+                  act: str = "silu") -> Array:
+    """Pallas forward with the jnp reference's VJP as the backward rule.
+
+    pallas_call has no autodiff rule; the backward of this op is cheap
+    (one fused elementwise pass XLA handles well), so the custom_vjp
+    recomputes the pre-activation from the saved inputs and differentiates
+    the reference formulation. Forward stays HBM-free on TPU; training
+    through it is exact up to reduction order.
+    """
+    return phi_rank1_pallas(l1_v, r, u, w2, act=act)
+
+
+def _phi_fwd(l1_v, r, u, w2, act):
+    return phi_rank1_pallas(l1_v, r, u, w2, act=act), (l1_v, r, u, w2)
+
+
+def _phi_bwd(act, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: phi_rank1_reference(*a, act=act), *res)
+    return vjp(g)
+
+
+phi_rank1_tpu.defvjp(_phi_fwd, _phi_bwd)
+
+
 def phi_rank1(l1_v: Array, r: Array, u: Array, w2: Array,
               act: str = "silu") -> Array:
-    """Dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
+    """Dispatch: Pallas kernel on TPU when FABIND_USE_PALLAS=1, jnp
+    reference otherwise (the measured-faster default — DESIGN.md
+    "Pallas decision": 105.6 vs 101.8 complexes/s end-to-end)."""
     import os
     if (jax.default_backend() == "tpu"
-            and os.environ.get("FABIND_NO_PALLAS") != "1"):
-        return phi_rank1_pallas(l1_v, r, u, w2, act=act)
+            and os.environ.get("FABIND_USE_PALLAS") == "1"):
+        return phi_rank1_tpu(l1_v, r, u, w2, act)
     return phi_rank1_reference(l1_v, r, u, w2, act=act)
