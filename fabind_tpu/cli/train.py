@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=0, help="dp mesh size (0=all)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--save-every-steps", type=int, default=0,
+                   help="also checkpoint every N steps (async, mid-epoch "
+                        "resumable); 0 = per-epoch only")
+    p.add_argument("--keep", type=int, default=3,
+                   help="checkpoint retention: newest N step dirs kept")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace (TensorBoard xplane) "
                         "of training steps 10-15 into this directory")
@@ -106,11 +111,18 @@ def main(argv=None):
     first = next(train_loader.epoch(0))
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                       first)
+    ckptr = checkpoints.TrainCheckpointer(args.output + "/ckpt",
+                                          max_to_keep=args.keep)
+    start_epoch, skip_batches = 0, 0
     if args.resume:
-        restored = checkpoints.restore_state(args.output + "/ckpt", state)
+        restored = ckptr.restore(state)
         if restored is not None:
-            state = restored
-            logger.log_message(f"resumed at step {int(state.step)}")
+            state, meta = restored
+            start_epoch = int(meta.get("epoch", 0))
+            skip_batches = int(meta.get("batch_in_epoch", 0))
+            logger.log_message(
+                f"resumed at step {int(state.step)} "
+                f"(epoch {start_epoch}, batch {skip_batches})")
 
     mesh = make_mesh(args.dp or None)
     state = replicate(state, mesh)
@@ -124,15 +136,31 @@ def main(argv=None):
                    for x in jax.tree_util.tree_leaves(state.params))
     logger.log_message(f"model params: {n_params/1e6:.2f}M")
 
+    # preemption safety: on SIGTERM/SIGINT finish the in-flight step, write
+    # a mid-epoch checkpoint (with the data-order position) and exit cleanly
+    # — the TPU-production counterpart of the reference's crash-resume-only
+    # policy (main_fabind.py:298-306)
+    import signal
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        logger.log_message(f"signal {signum}: checkpointing then exiting")
+
+    old_handlers = {s: signal.signal(s, _on_signal)
+                    for s in (signal.SIGTERM, signal.SIGINT)}
+
     step = int(state.step)
-    for epoch in range(cfg.train.total_epochs):
+    for epoch in range(start_epoch, cfg.train.total_epochs):
         t0 = time.time()
-        for batch in train_loader.epoch(epoch):
+        batch_in_epoch = skip_batches
+        for batch in train_loader.epoch(epoch, skip_batches=skip_batches):
             batch = shard_batch(batch, mesh)
             if args.profile_dir and step == 10:
                 jax.profiler.start_trace(args.profile_dir)
             state, metrics = train_step(state, batch)
             step += 1
+            batch_in_epoch += 1
             if args.profile_dir and step == 15:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), state.params)
@@ -140,10 +168,20 @@ def main(argv=None):
                 logger.log_message(f"profiler trace -> {args.profile_dir}")
             if step % 50 == 0:
                 logger.log_metrics(metrics, step)
+            mid_meta = {"epoch": epoch, "batch_in_epoch": batch_in_epoch}
+            if preempted["flag"]:
+                ckptr.save(jax.device_get(state), meta=mid_meta, step=step)
+                ckptr.close()
+                logger.log_message(f"preemption checkpoint at step {step}")
+                return
+            if args.save_every_steps and step % args.save_every_steps == 0:
+                ckptr.save(jax.device_get(state), meta=mid_meta, step=step)
+        skip_batches = 0
         logger.log_message(
             f"epoch {epoch} done in {time.time()-t0:.1f}s; "
             f"dropped {train_loader.n_dropped} oversize samples")
-        checkpoints.save_state(args.output + "/ckpt", jax.device_get(state))
+        ckptr.save(jax.device_get(state),
+                   meta={"epoch": epoch + 1, "batch_in_epoch": 0}, step=step)
 
         if (epoch + 1) % args.eval_every == 0 and len(valid_loader.indices):
             for stage, eval_step in eval_steps.items():
@@ -153,6 +191,10 @@ def main(argv=None):
                     acc.update(jax.device_get(out), batch)
                 logger.log_metrics(acc.summarize(), step,
                                    phase=f"valid_stage{stage}")
+
+    ckptr.close()
+    for s, h in old_handlers.items():
+        signal.signal(s, h)
 
 
 if __name__ == "__main__":

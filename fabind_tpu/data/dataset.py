@@ -268,11 +268,19 @@ class Loader:
                 return c
         return None
 
-    def epoch(self, epoch: int = 0, with_meta: bool = False) -> Iterator:
+    def epoch(self, epoch: int = 0, with_meta: bool = False,
+              skip_batches: int = 0) -> Iterator:
         """Yields collated batches; with_meta=True yields (batch, meta) where
         meta = {"pdb": [names of REAL rows], "n_valid": int,
-        "cfg": the bucket's FABindConfig}."""
-        gen = self._epoch_impl(epoch, with_meta)
+        "cfg": the bucket's FABindConfig}.
+
+        `skip_batches` resumes a preempted run mid-epoch: the first k batches
+        of the epoch are suppressed so the yielded sequence is exactly the
+        uninterrupted epoch's batches [k:]. Skipped samples are still
+        featurized (bucket routing and the noisy pocket crop are
+        RNG-dependent, so there is no cheaper exact fast-forward), but their
+        collation is skipped."""
+        gen = self._epoch_impl(epoch, with_meta, skip_batches)
         if self.prefetch_depth:
             return prefetch(gen, self.prefetch_depth)
         return gen
@@ -305,7 +313,8 @@ class Loader:
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
 
-    def _epoch_impl(self, epoch: int, with_meta: bool) -> Iterator:
+    def _epoch_impl(self, epoch: int, with_meta: bool,
+                    skip_batches: int = 0) -> Iterator:
         rng = np.random.RandomState(self.seed + epoch)
         order = list(self.indices)
         if self.group == "train":
@@ -314,6 +323,7 @@ class Loader:
             pi, pc = self.host_shard
             order = order[pi::pc]
         bufs = {id(c): ([], [], c) for c in self.bucket_cfgs}
+        n_emitted = 0
 
         def emit(buf, pdbs, cfg_b, n_real):
             batch = collate(buf, cfg_b, n_valid=n_real)
@@ -331,7 +341,9 @@ class Loader:
             buf.append(s)
             pdbs.append(str(raw.get("pdb", idx)))
             if len(buf) == self.batch_size:
-                yield emit(buf, pdbs, cfg_b, self.batch_size)
+                if n_emitted >= skip_batches:
+                    yield emit(buf, pdbs, cfg_b, self.batch_size)
+                n_emitted += 1
                 bufs[id(cfg_b)] = ([], [], cfg_b)
         for buf, pdbs, cfg_b in bufs.values():
             if not buf:
@@ -341,4 +353,6 @@ class Loader:
             n_real = len(buf)
             while len(buf) < self.batch_size:
                 buf.append(buf[-1])
-            yield emit(buf, pdbs, cfg_b, n_real)
+            if n_emitted >= skip_batches:
+                yield emit(buf, pdbs, cfg_b, n_real)
+            n_emitted += 1

@@ -479,3 +479,31 @@ def test_loader_host_shard_partitions_epoch():
             seen += meta["pdb"]
     assert sorted(seen) == sorted(f"x{i}" for i in range(7))
     assert all(v == 1 for v in served.values())
+
+
+def test_loader_skip_batches_resumes_exact_sequence():
+    """epoch(skip_batches=k) must yield exactly the uninterrupted epoch's
+    batches [k:] (mid-epoch preemption resume)."""
+    import numpy as np
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader
+
+    cfg = preset("fabind", max_ligand=16, max_pocket=32, max_protein=40,
+                 ctx_k=8, ctx_k_whole=8, batch_size=2)
+
+    class Src:
+        samples = [make_raw(seed=i) for i in range(7)]
+        def get(self, idx):
+            return self.samples[idx]
+
+    for group in ("test", "train"):
+        full = list(Loader(Src(), range(7), cfg, group=group,
+                           seed=3).epoch(1))
+        tail = list(Loader(Src(), range(7), cfg, group=group,
+                           seed=3).epoch(1, skip_batches=2))
+        assert len(tail) == len(full) - 2
+        for a, b in zip(full[2:], tail):
+            for f in ("lig_coords_init", "prot_xyz", "pocket_idx",
+                      "sample_valid"):
+                np.testing.assert_array_equal(np.asarray(getattr(a, f)),
+                                              np.asarray(getattr(b, f)))

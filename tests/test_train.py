@@ -152,3 +152,27 @@ def test_confidence_step_freezes_backbone():
     assert changed_head, "confidence head did not train"
     assert 0.0 <= float(metrics["ranking_accuracy"]) <= 1.0
     assert 0.0 <= float(metrics["hit_rate"]) <= 1.0
+
+
+def test_train_checkpointer_async_retention_meta(train_setup, tmp_path):
+    """TrainCheckpointer: async save + keep-N retention + data-order meta
+    for mid-epoch resume (production counterpart of accelerate save_state,
+    main_fabind.py:594-596)."""
+    import os
+    from fabind_tpu.train.checkpoints import TrainCheckpointer
+
+    cfg, batch, model, state, step_fn = train_setup
+    host_state = jax.device_get(state)
+    ck = TrainCheckpointer(str(tmp_path / "ck"), max_to_keep=2)
+    for s in (1, 2, 3):
+        ck.save(host_state, meta={"epoch": 0, "batch_in_epoch": s}, step=s)
+    ck.wait()
+    kept = sorted(int(d) for d in os.listdir(tmp_path / "ck")
+                  if d.isdigit())
+    assert kept == [2, 3], kept
+    restored, meta = ck.restore(host_state)
+    assert meta == {"epoch": 0, "batch_in_epoch": 3}
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               host_state.params, restored.params)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+    ck.close()
