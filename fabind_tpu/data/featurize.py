@@ -206,15 +206,70 @@ def mol_from_sdf(sdf_path: str, mol2_path: Optional[str] = None):
     return Chem.RemoveHs(mol)
 
 
-# ----------------------------------------------------------------- BioPython
+# ------------------------------------------------------------- PDB parsing
+
+def parse_pdb_atoms(pdb_path: str) -> Dict:
+    """Pure-Python PDB backbone parser (no BioPython needed).
+
+    Fixed-column ATOM-record extraction producing the same cleaned structure
+    as the reference's BioPython path (inference_pdb_utils.py:15-60): keep
+    only ATOM records (hetero flag ' ' in BioPython terms) of the standard
+    20 residues whose N/CA/C/O are all present; per (model, chain, resseq,
+    icode) residue, per atom name keep the highest-occupancy altloc
+    (BioPython's disordered-atom selection; first wins on ties).
+    """
+    residues: Dict = {}          # key -> {atom_name: (occupancy, xyz)}
+    order: List = []
+    model = 0
+    with open(pdb_path) as f:
+        for line in f:
+            rec = line[:6]
+            if rec == "MODEL ":
+                try:
+                    model = int(line[10:14])
+                except ValueError:
+                    model += 1
+                continue
+            if rec != "ATOM  ":
+                continue
+            resname = line[17:20].strip()
+            if resname not in THREE_TO_ONE:
+                continue
+            name = line[12:16].strip()
+            try:
+                xyz = (float(line[30:38]), float(line[38:46]),
+                       float(line[46:54]))
+            except ValueError:
+                continue
+            try:
+                occ = float(line[54:60])
+            except (ValueError, IndexError):
+                occ = 1.0
+            key = (model, line[21], line[22:26], line[26])
+            if key not in residues:
+                residues[key] = {}
+                order.append((key, resname))
+            prev = residues[key].get(name)
+            if prev is None or occ > prev[0]:
+                residues[key][name] = (occ, xyz)
+    seq_parts, coords = [], []
+    for key, resname in order:
+        atoms = residues[key]
+        if all(a in atoms for a in ("N", "CA", "C", "O")):
+            seq_parts.append(THREE_TO_ONE[resname])
+            coords.append([atoms[a][1] for a in ("N", "CA", "C", "O")])
+    return {"seq": "".join(seq_parts),
+            "coords": np.asarray(coords, np.float32).reshape(-1, 4, 3)}
+
 
 def extract_protein_structure(pdb_path: str) -> Dict:
     """Clean residues (standard AA with N/CA/C/O) -> seq + 4-atom coords
-    (inference_pdb_utils.py:15-60)."""
+    (inference_pdb_utils.py:15-60). Uses BioPython when installed (exact
+    reference stack), else the pure-Python fixed-column parser above."""
     try:
         from Bio.PDB import PDBParser
-    except ImportError as e:
-        raise ImportError("BioPython required for PDB parsing") from e
+    except ImportError:
+        return parse_pdb_atoms(pdb_path)
     parser = PDBParser(QUIET=True)
     s = parser.get_structure("x", pdb_path)
     res_list = []

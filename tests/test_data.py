@@ -507,3 +507,48 @@ def test_loader_skip_batches_resumes_exact_sequence():
                       "sample_valid"):
                 np.testing.assert_array_equal(np.asarray(getattr(a, f)),
                                               np.asarray(getattr(b, f)))
+
+
+def test_parse_pdb_atoms_pure_python(tmp_path):
+    """Pure-Python PDB parser: ATOM-only, standard-20, N/CA/C/O required,
+    highest-occupancy altloc wins (reference cleaning semantics,
+    inference_pdb_utils.py:15-60) — runs without BioPython."""
+    from fabind_tpu.data.featurize import parse_pdb_atoms
+
+    pdb = tmp_path / "t.pdb"
+    def atom(serial, name, alt, res, chain, seq, x, occ=1.0, rec="ATOM  "):
+        return (f"{rec}{serial:>5} {name:<4}{alt}{res} {chain}{seq:>4} "
+                f"   {x:8.3f}{0.0:8.3f}{0.0:8.3f}{occ:6.2f}{20.0:6.2f}"
+                f"           C\n")
+    lines = []
+    # residue 1: complete ALA with an altloc CA (B has higher occupancy)
+    lines += [atom(1, "N", " ", "ALA", "A", 1, 1.0),
+              atom(2, "CA", "A", "ALA", "A", 1, 2.0, occ=0.4),
+              atom(3, "CA", "B", "ALA", "A", 1, 9.0, occ=0.6),
+              atom(4, "C", " ", "ALA", "A", 1, 3.0),
+              atom(5, "O", " ", "ALA", "A", 1, 4.0)]
+    # residue 2: GLY missing O -> dropped
+    lines += [atom(6, "N", " ", "GLY", "A", 2, 5.0),
+              atom(7, "CA", " ", "GLY", "A", 2, 6.0),
+              atom(8, "C", " ", "GLY", "A", 2, 7.0)]
+    # nonstandard residue -> dropped; HETATM water -> dropped
+    lines += [atom(9, "CA", " ", "MSE", "A", 3, 8.0),
+              atom(10, "O", " ", "HOH", "A", 4, 9.0, rec="HETATM")]
+    # residue 5: complete VAL on another chain
+    lines += [atom(11, "N", " ", "VAL", "B", 1, 10.0),
+              atom(12, "CA", " ", "VAL", "B", 1, 11.0),
+              atom(13, "C", " ", "VAL", "B", 1, 12.0),
+              atom(14, "O", " ", "VAL", "B", 1, 13.0)]
+    pdb.write_text("".join(lines))
+    s = parse_pdb_atoms(str(pdb))
+    assert s["seq"] == "AV"
+    assert s["coords"].shape == (2, 4, 3)
+    # altloc B CA (x=9.0) must have been selected
+    assert s["coords"][0, 1, 0] == 9.0
+
+    # real fixture from the reference's 4-complex smoke set
+    import os
+    ref = "/root/reference/FABind/inference_examples/pdb_files/6efk.pdb"
+    if os.path.exists(ref):
+        r = parse_pdb_atoms(ref)
+        assert len(r["seq"]) == 132 and r["coords"].shape == (132, 4, 3)
