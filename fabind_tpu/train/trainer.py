@@ -36,11 +36,13 @@ class TrainState:
 def create_train_state(cfg: FABindConfig, rng: Array, batch) -> Tuple[FABind, TrainState]:
     model = make_model(cfg)
     init_rng, state_rng = jax.random.split(rng)
-    variables = model.init(
+    # one compiled program: eager op-by-op init costs minutes on a remote
+    # TPU (every op is a tunnel round-trip) and dominates startup
+    variables = jax.jit(lambda: model.init(
         {"params": init_rng, "dropout": init_rng, "sample": init_rng},
-        batch, train=True)
+        batch, train=True))()
     tx = build_optimizer(cfg.train)
-    opt_state = tx.init(variables["params"])
+    opt_state = jax.jit(tx.init)(variables["params"])
     return model, TrainState(step=jnp.zeros((), jnp.int32),
                              params=variables["params"],
                              opt_state=opt_state, rng=state_rng)
