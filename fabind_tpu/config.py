@@ -86,6 +86,11 @@ class ModelConfig:
     norm_type: str = "per_sample"  # per_sample | all_sample | none
 
     dropout: float = 0.1
+    # rematerialize each EGNN layer in the backward pass (jax.checkpoint):
+    # cuts the dominant training residuals ([B,N,K,C] ctx gathers + pair
+    # activations, one per layer) at the cost of one recomputed forward —
+    # the standard TPU HBM/FLOPs trade for larger train batches
+    remat: bool = False
     geometry_reg_step_size: float = 0.001
     geom_reg_steps: int = 1
     rm_LAS_constrained_optim: bool = False

@@ -432,6 +432,17 @@ class MCAttEGNN(nn.Module):
         las_clamp = cfg.normalize(15.0)
         movable = layout.movable()[None, :, None]
 
+        # cfg.remat: rematerialize each layer in the backward pass
+        # (jax.checkpoint via nn.remat). The training-step residuals are
+        # dominated by the per-layer ctx-gather/pair activations
+        # ([B, N, K+1, C+3] and [B, Np, Nc, C] per layer — OOM at b32 fp32
+        # on 16G HBM without remat); recomputing them trades ~1 extra
+        # forward for O(n_layers) fewer live activations.
+        Egcl, Att = EGCL, InterAttention
+        if cfg.remat:
+            Egcl = nn.remat(EGCL, static_argnums=(5,))
+            Att = nn.remat(InterAttention, static_argnums=(7,))
+
         h = nn.Dense(self.hidden, name="linear_in")(h)
         h = nn.Dropout(cfg.dropout, name="dropout")(h, deterministic=deterministic)
 
@@ -451,14 +462,13 @@ class MCAttEGNN(nn.Module):
                                         intra_cutoff, ctx_k)
                 adj = G.build_inter_graph(x, layout, gi.lig_mask, gi.pkt_mask,
                                           inter_cutoff).adj
-            h, x_new = EGCL(cfg, self.hidden, coord_max, name=f"gcl_{i}")(
+            h, x_new = Egcl(cfg, self.hidden, coord_max, name=f"gcl_{i}")(
                 h, x, ctx, gi, deterministic)
             x = maybe_fix(x, x_new)
-            h, x_new, pair_new = InterAttention(
+            h, x_new, pair_new = Att(
                 cfg, self.hidden, coord_max, name=f"att_{i}")(
                     h, x, adj, gi, pair_embed, pair_mask, deterministic,
-                    p_p_dist_embed=p_p_dist_embed,
-                    c_c_dist_embed=c_c_dist_embed)
+                    p_p_dist_embed, c_c_dist_embed)
             # FABind+ threads the updated pair embedding through the stack
             # (plus egnn.py:380-392); base DISCARDS it — MC_Att_L.forward
             # returns only (h, coord, att) and MCAttEGNN never reassigns
@@ -473,7 +483,7 @@ class MCAttEGNN(nn.Module):
                     cfg.geometry_reg_step_size, las_clamp, steps=cfg.geom_reg_steps)
                 x = x.at[:, layout.lig_slice].set(x_l)
 
-        h, x_new = EGCL(cfg, self.hidden, coord_max, name="out_layer")(
+        h, x_new = Egcl(cfg, self.hidden, coord_max, name="out_layer")(
             h, x, ctx, gi, deterministic)
         x = maybe_fix(x, x_new)
         h = nn.Dropout(cfg.dropout, name="dropout_out")(h, deterministic=deterministic)

@@ -15,9 +15,7 @@ from fabind_tpu.data.types import dummy_batch
 from fabind_tpu.models.fabind import make_model
 from fabind_tpu.train.losses import fabind_losses
 
-TINY = dict(max_ligand=12, max_pocket=24, max_protein=48, ctx_k=8,
-            ctx_k_whole=8, hidden_size=32, pocket_pred_hidden_size=16,
-            mean_layers=1, n_iter=3)
+from common import TINY
 
 
 @pytest.fixture(scope="module")

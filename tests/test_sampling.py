@@ -7,9 +7,7 @@ from fabind_tpu.config import preset
 from fabind_tpu.data.types import dummy_batch
 from fabind_tpu.models.fabind import make_model
 
-TINY = dict(max_ligand=8, max_pocket=16, max_protein=32, ctx_k=6,
-            ctx_k_whole=6, hidden_size=16, pocket_pred_hidden_size=16,
-            mean_layers=1, n_iter=2)
+from common import TINY_XS as TINY
 
 
 def _setup(confidence=True):

@@ -7,9 +7,7 @@ import pytest
 from fabind_tpu.config import preset
 from fabind_tpu.serve import DockingEngine, Pose
 
-TINY = dict(max_ligand=16, max_pocket=24, max_protein=48, ctx_k=8,
-            ctx_k_whole=8, hidden_size=32, pocket_pred_hidden_size=16,
-            mean_layers=1, n_iter=2)
+from common import TINY
 
 
 def make_raw(n=9, nr=30, seed=0):

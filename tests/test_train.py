@@ -15,10 +15,7 @@ from fabind_tpu.train.losses import confidence_ranking_loss
 from fabind_tpu.train.trainer import (create_train_state, make_sharded_train_step,
                                       make_train_step)
 
-TINY = dict(max_ligand=8, max_pocket=16, max_protein=32, ctx_k=6,
-            ctx_k_whole=6, hidden_size=16, pocket_pred_hidden_size=16,
-            mean_layers=1, n_iter=2, steps_per_epoch=2, warmup_epochs=1,
-            total_epochs=4)
+from common import TINY_XS as TINY
 
 
 @pytest.fixture(scope="module")
@@ -176,3 +173,32 @@ def test_train_checkpointer_async_retention_meta(train_setup, tmp_path):
                                host_state.params, restored.params)
     assert max(jax.tree_util.tree_leaves(d)) == 0.0
     ck.close()
+
+
+def test_graft_dryrun_config_matches_tiny_xs():
+    """__graft_entry__._build(tiny=True) must equal preset(fabind, **TINY_XS):
+    the driver's multichip dryrun then reuses the suite's cached sharded-step
+    executable instead of recompiling ~5 min on the 1-CPU bench host."""
+    import importlib.util, os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg_graft, _, _ = mod._build(tiny=True)
+    assert cfg_graft == preset("fabind", **TINY)
+
+
+def test_remat_train_step_grad_exact(train_setup):
+    """cfg.remat (jax.checkpoint on each EGNN layer) must leave loss and
+    grads bit-comparable — it only changes what is stored vs recomputed."""
+    cfg, batch, model, state, step = train_setup
+    cfg_r = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=True))
+    model_r, sr = create_train_state(cfg_r, jax.random.PRNGKey(0), batch)
+    step_r = jax.jit(make_train_step(model_r, cfg_r))
+    _, m0 = step(state, batch)
+    _, m1 = step_r(sr, batch)
+    assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-4
+    gn0, gn1 = float(m0["grad_norm"]), float(m1["grad_norm"])
+    assert abs(gn0 - gn1) / max(gn0, 1e-9) < 1e-4

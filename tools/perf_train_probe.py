@@ -20,20 +20,24 @@ def run(name, B, bf16):
                                         n_lig_valid=48, n_prot_valid=400))()
     jax.block_until_ready(batch)
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
-    step = jax.jit(make_train_step(model, cfg))
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
     t = time.perf_counter()
     state, m = step(state, batch)
-    jax.block_until_ready(m)
+    _ = float(jax.device_get(m["loss"]))
     log(f"[{name}] compile+1st {time.perf_counter()-t:.0f}s")
-    t = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
+    # time each step to a real device->host transfer: block_until_ready on
+    # the (donated) outputs has been observed to return early under the
+    # remote-TPU tunnel, reporting impossible 8-11 ms "steps" — a scalar
+    # device_get per step is the only trustworthy fence
+    times = []
+    for _ in range(8):
+        t = time.perf_counter()
         state, m = step(state, batch)
-        # block every step: metrics alone under-measure (the dict can be
-        # computed from the fwd pass while the bwd/update still runs)
-        jax.block_until_ready((state.params, m))
-    dt = time.perf_counter() - t
-    log(f"[{name}] {B*iters/dt:.1f} complexes/s train ({dt/iters*1000:.0f} ms/step) loss={float(m['loss']):.3f}")
+        loss = float(jax.device_get(m["loss"]))
+        times.append(time.perf_counter() - t)
+    med = sorted(times)[len(times) // 2]
+    log(f"[{name}] median {med*1000:.0f} ms/step -> {B/med:.1f} complexes/s "
+        f"train, loss={loss:.3f}")
 
 if __name__ == "__main__":
     run("train_fp32_b8", 8, False)
