@@ -59,12 +59,18 @@ class DockingEngine:
       bf16: serve in bfloat16 (params + activations).
       post_optim_steps: >0 runs the batched on-device LAS post-optimization
         on every pose (reference fabind_inference.py:373, per-mol CPU Adam).
+      dp: serve data-parallel over this many devices (a 1-D
+        `jax.sharding.Mesh`): params replicated, each fixed batch sharded on
+        its leading axis, one executable per bucket as before. batch_size
+        must be divisible by dp. The TPU-slice serving mode — throughput
+        scales with chips while the request API is unchanged.
     """
 
     def __init__(self, cfg: FABindConfig, ckpt: Optional[str] = None,
                  params=None, buckets: Optional[Sequence] = None,
                  batch_size: int = 8, bf16: bool = True,
-                 post_optim_steps: int = 0, esm_device: str = "cpu"):
+                 post_optim_steps: int = 0, esm_device: str = "cpu",
+                 dp: int = 1):
         import jax
         import jax.numpy as jnp
         from fabind_tpu.data.types import dummy_batch
@@ -76,6 +82,14 @@ class DockingEngine:
         self.post_optim_steps = post_optim_steps
         self.esm_device = esm_device
         self._protein_cache: Dict[str, Tuple] = {}
+        self.dp = dp
+        if dp > 1:
+            from fabind_tpu.parallel.mesh import make_mesh
+            assert batch_size % dp == 0, \
+                f"batch_size {batch_size} not divisible by dp {dp}"
+            self._mesh = make_mesh(dp)
+        else:
+            self._mesh = None
 
         bs = sorted(buckets or [cfg.shapes],
                     key=lambda s: (s.max_ligand, s.max_pocket, s.max_protein))
@@ -152,7 +166,21 @@ class DockingEngine:
                         batch.lig_mask, steps=post_steps)
                 return lig, conf, pkt, idx, mask
 
-            self._fns[key] = jax.jit(run)
+            if self._mesh is not None:
+                # dp serving: replicated params, batch sharded on its
+                # leading axis; XLA partitions the whole inference program
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                repl = NamedSharding(self._mesh, P())
+                bsh = NamedSharding(self._mesh, P("dp"))
+
+                def run_dp(params, batch):
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, jax.tree_util.tree_map(lambda _: bsh, batch))
+                    return run(params, batch)
+
+                self._fns[key] = jax.jit(run_dp, in_shardings=(repl, bsh))
+            else:
+                self._fns[key] = jax.jit(run)
         return self._fns[key]
 
     # ------------------------------------------------------------- serving

@@ -121,3 +121,20 @@ def test_dock_smiles_skip_and_continue(engine, monkeypatch):
     assert poses[0].error is None and poses[0].coords.shape == (5, 3)
     assert isinstance(poses[0].mol, FakeMol)
     assert poses[1].error is not None and "unparseable" in poses[1].error
+
+
+def test_dock_raw_dp_matches_single_device():
+    """dp=8 engine (1-D mesh over the 8 virtual CPU devices, params
+    replicated, batch sharded) must reproduce the dp=1 engine's poses —
+    the TPU-slice serving mode."""
+    cfg = preset("fabind", **TINY)
+    raws = [make_raw(n=5 + (i % 3), nr=20, seed=10 + i) for i in range(10)]
+    eng1 = DockingEngine(cfg, batch_size=8, bf16=False)
+    poses1 = eng1.dock_raw(raws)
+    eng8 = DockingEngine(cfg, batch_size=8, bf16=False, dp=8)
+    poses8 = eng8.dock_raw(raws)
+    assert len(poses1) == len(poses8) == 10
+    for a, b in zip(poses1, poses8):
+        assert a.error is None and b.error is None
+        np.testing.assert_allclose(a.coords, b.coords, rtol=1e-4, atol=1e-4)
+        assert abs(a.confidence - b.confidence) < 1e-4
