@@ -54,7 +54,17 @@ def main(argv=None):
                    help="config override, e.g. --set max_ligand=32 "
                         "--set n_iter=4 (any ModelConfig/ShapeConfig/"
                         "TrainConfig field)")
+    p.add_argument("--compile-cache", default="~/.cache/fabind_xla",
+                   help="persistent XLA compilation cache dir ('' disables); "
+                        "restarts and preemption-resumes then skip the "
+                        "multi-minute train-step recompile")
     args = p.parse_args(argv)
+
+    import os as _os
+    if args.compile_cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.expanduser(args.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from fabind_tpu.config import preset
     from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource

@@ -202,3 +202,67 @@ def test_remat_train_step_grad_exact(train_setup):
     assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-4
     gn0, gn1 = float(m0["grad_norm"]), float(m1["grad_norm"])
     assert abs(gn0 - gn1) / max(gn0, 1e-9) < 1e-4
+
+
+def test_train_cli_preemption_and_resume(tmp_path):
+    """End-to-end preemption safety: SIGTERM mid-run -> clean exit with a
+    checkpoint; --resume restores and finishes the remaining epochs."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from test_data import make_raw
+
+    data = tmp_path / "npz"
+    data.mkdir()
+    for i in range(8):
+        np.savez(data / f"c{i}.npz", **make_raw(seed=i))
+    out = tmp_path / "run"
+
+    env = dict(os.environ)
+    # the axon plugin force-registers the TPU backend when this is set,
+    # overriding JAX_PLATFORMS (see __graft_entry__.dryrun_multichip)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f)
+    args = [sys.executable, "-m", "fabind_tpu.cli.train",
+            "--compile-cache", "~/.jax_cache_tests",
+            "--data", str(data), "--output", str(out),
+            "--epochs", "40", "--batch-size", "2", "--workers", "0",
+            "--save-every-steps", "2", "--eval-every", "99",
+            "--set", "max_ligand=16", "--set", "max_pocket=32",
+            "--set", "max_protein=40", "--set", "ctx_k=8",
+            "--set", "ctx_k_whole=8", "--set", "hidden_size=16",
+            "--set", "pocket_pred_hidden_size=16",
+            "--set", "mean_layers=1", "--set", "n_iter=2"]
+    proc = subprocess.Popen(args, env=env, cwd=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    ckpt_dir = out / "ckpt"
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if ckpt_dir.is_dir() and any(d.isdigit() for d in os.listdir(ckpt_dir)):
+            break
+        if proc.poll() is not None:
+            raise AssertionError(f"train exited early rc={proc.returncode}")
+        time.sleep(2)
+    else:
+        proc.kill()
+        raise AssertionError("no checkpoint appeared within 600s")
+    proc.send_signal(signal.SIGTERM)
+    rc = proc.wait(timeout=300)
+    assert rc == 0, f"SIGTERM exit rc={rc}"
+    steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+    assert steps, "no checkpoint after SIGTERM"
+
+    # resume for a couple more epochs and finish cleanly
+    args[args.index("40")] = "2"  # --epochs 2 (already past epoch 0 saves)
+    rc2 = subprocess.run(args + ["--resume"], env=env, timeout=600,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__)))).returncode
+    assert rc2 == 0
+    log = (out / "log.txt").read_text()
+    assert "resumed at step" in log
