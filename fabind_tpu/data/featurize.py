@@ -262,6 +262,89 @@ def parse_pdb_atoms(pdb_path: str) -> Dict:
             "coords": np.asarray(coords, np.float32).reshape(-1, 4, 3)}
 
 
+def sdf_coords(sdf_path: str) -> np.ndarray:
+    """Pure-Python V2000 SDF atom-coordinate reader ([n_atoms, 3])."""
+    with open(sdf_path) as f:
+        lines = f.readlines()
+    counts = lines[3]
+    if "V3000" in counts:
+        raise ValueError("V3000 SDF not supported by the pure reader")
+    n_atoms = int(counts[:3])
+    out = np.empty((n_atoms, 3), np.float32)
+    for i in range(n_atoms):
+        ln = lines[4 + i]
+        out[i] = (float(ln[0:10]), float(ln[10:20]), float(ln[20:30]))
+    return out
+
+
+def select_chain_within_cutoff(pdb_path: str, lig_coords: np.ndarray,
+                               cutoff: float, out_path: str) -> List[str]:
+    """Keep only protein chains with any clean-residue atom within `cutoff`
+    of the ligand; write the filtered PDB (dataset-construction helper,
+    reference feature_utils.py:379-412 select_chain_within_cutoff_to_ligand_v2
+    — pure Python here, no BioPython/scipy). Returns the kept chain ids.
+
+    Contact test uses every atom of the standard-residue, CA-containing
+    residues (the reference's get_clean_res_list(ensure_ca_exist=True));
+    the output keeps all ATOM/HETATM/TER records of the contact chains
+    (the reference's Select writes every residue of those chains)."""
+    lig = np.asarray(lig_coords, np.float32)
+    chains_atoms: Dict[str, List] = {}
+    res_has_ca: Dict[Tuple, bool] = {}
+    res_atoms: Dict[Tuple, List] = {}
+    with open(pdb_path) as f:
+        src_lines = f.readlines()
+    for line in src_lines:
+        if line[:6] != "ATOM  ":
+            continue
+        resname = line[17:20].strip()
+        if resname not in THREE_TO_ONE:
+            continue
+        key = (line[21], line[22:26], line[26])
+        try:
+            xyz = (float(line[30:38]), float(line[38:46]), float(line[46:54]))
+        except ValueError:
+            continue
+        res_atoms.setdefault(key, []).append(xyz)
+        if line[12:16].strip() == "CA":
+            res_has_ca[key] = True
+    for key, atoms in res_atoms.items():
+        if res_has_ca.get(key):
+            chains_atoms.setdefault(key[0], []).extend(atoms)
+    kept = []
+    cut2 = float(cutoff) ** 2
+    for chain, atoms in chains_atoms.items():
+        a = np.asarray(atoms, np.float32)
+        d2 = ((a[:, None, :] - lig[None, :, :]) ** 2).sum(-1)
+        if (d2 < cut2).any():
+            kept.append(chain)
+    keep = set(kept)
+    with open(out_path, "w") as f:
+        for line in src_lines:
+            rec = line[:6]
+            if rec in ("ATOM  ", "HETATM", "TER   ") or rec.startswith("TER"):
+                if line[21] not in keep:
+                    continue
+            f.write(line)
+    return sorted(kept)
+
+
+def write_renumbered_sdf(to_file: str, sdf_path: str,
+                         mol2_path: Optional[str] = None) -> None:
+    """Reorder a ligand SDF's atoms to canonical-SMILES output order and
+    write it (dataset-construction helper, feature_utils.py:55-63)."""
+    _require_rdkit()
+    from rdkit import Chem
+    mol = mol_from_sdf(sdf_path, mol2_path)
+    Chem.MolToSmiles(mol)
+    order = list(mol.GetPropsAsDict(
+        includePrivate=True, includeComputed=True)["_smilesAtomOutputOrder"])
+    mol = Chem.RenumberAtoms(mol, order)
+    w = Chem.SDWriter(to_file)
+    w.write(mol)
+    w.close()
+
+
 def extract_protein_structure(pdb_path: str) -> Dict:
     """Clean residues (standard AA with N/CA/C/O) -> seq + 4-atom coords
     (inference_pdb_utils.py:15-60). Uses BioPython when installed (exact

@@ -552,3 +552,38 @@ def test_parse_pdb_atoms_pure_python(tmp_path):
     if os.path.exists(ref):
         r = parse_pdb_atoms(ref)
         assert len(r["seq"]) == 132 and r["coords"].shape == (132, 4, 3)
+
+
+def test_sdf_coords_and_chain_selection(tmp_path):
+    """Pure-Python SDF coord reader on the reference's real ligand fixture +
+    chain-within-cutoff PDB filtering (feature_utils.py:379-412)."""
+    import os
+    from fabind_tpu.data.featurize import sdf_coords, select_chain_within_cutoff
+
+    ref_sdf = ("/root/reference/FABind/inference_examples/gt_mol_files/"
+               "6g3c/6g3c_ligand.sdf")
+    if os.path.exists(ref_sdf):
+        c = sdf_coords(ref_sdf)
+        assert c.ndim == 2 and c.shape[1] == 3 and len(c) > 5
+        assert np.isfinite(c).all()
+
+    # synthetic 2-chain PDB: ligand sits near chain A only
+    def atom(serial, name, res, chain, seq, x):
+        return (f"ATOM  {serial:>5} {name:<4} {res} {chain}{seq:>4} "
+                f"   {x:8.3f}{0.0:8.3f}{0.0:8.3f}{1.0:6.2f}{20.0:6.2f}"
+                f"           C\n")
+    lines = []
+    for i, (chain, x0) in enumerate([("A", 0.0), ("B", 500.0)]):
+        base = i * 10
+        lines += [atom(base + 1, "N", "ALA", chain, 1, x0),
+                  atom(base + 2, "CA", "ALA", chain, 1, x0 + 1),
+                  atom(base + 3, "C", "ALA", chain, 1, x0 + 2),
+                  atom(base + 4, "O", "ALA", chain, 1, x0 + 3)]
+    pdb = tmp_path / "two_chain.pdb"
+    pdb.write_text("".join(lines))
+    out = tmp_path / "sel.pdb"
+    kept = select_chain_within_cutoff(
+        str(pdb), np.array([[2.0, 0.0, 0.0]], np.float32), 10.0, str(out))
+    assert kept == ["A"]
+    sel = out.read_text()
+    assert " A   1" in sel and " B   1" not in sel
