@@ -138,3 +138,25 @@ def test_dock_raw_dp_matches_single_device():
         assert a.error is None and b.error is None
         np.testing.assert_allclose(a.coords, b.coords, rtol=1e-4, atol=1e-4)
         assert abs(a.confidence - b.confidence) < 1e-4
+
+
+def test_dock_screen_matches_dock_raw():
+    """Virtual screening (device-resident protein cache) must reproduce
+    dock_raw on the same (ligand, protein) pairs."""
+    cfg = preset("fabind", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    base = make_raw(n=6, nr=20, seed=50)
+    protein = {k: base[k] for k in ("protein_xyz", "esm_feat")}
+    ligs = []
+    for i in range(5):
+        r = make_raw(n=5 + (i % 3), nr=20, seed=60 + i)
+        ligs.append({k: r[k] for k in ("lig_coords", "lig_feats",
+                                       "bond_edges", "las_mask",
+                                       "rdkit_coords")})
+    screened = eng.dock_screen(protein, ligs)
+    direct = eng.dock_raw([dict(l, **protein) for l in ligs])
+    assert len(screened) == len(direct) == 5
+    for a, b in zip(screened, direct):
+        assert a.error is None and b.error is None
+        np.testing.assert_allclose(a.coords, b.coords, rtol=1e-5, atol=1e-5)
+        assert abs(a.confidence - b.confidence) < 1e-5
