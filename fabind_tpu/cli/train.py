@@ -124,7 +124,13 @@ def main(argv=None):
                           workers=args.workers,
                           prefetch_depth=args.prefetch)
 
-    first = next(train_loader.epoch(0))
+    # init on a synthetic template batch: shapes are all that matter, and
+    # pulling the first real batch would spin up (then abandon) the
+    # prefetching epoch generator and its worker pool
+    from fabind_tpu.data.types import dummy_batch
+    first = jax.jit(lambda: dummy_batch(
+        cfg.shapes, batch_size=cfg.train.batch_size,
+        prot_feat_dim=cfg.model.protein_feat_dim))()
     model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
                                       first)
     ckptr = checkpoints.TrainCheckpointer(args.output + "/ckpt",

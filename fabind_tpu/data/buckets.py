@@ -131,3 +131,38 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3
         shapes.append(base)
     shapes.sort(key=lambda sh: (sh.max_ligand, sh.max_pocket, sh.max_protein))
     return shapes
+
+
+def sort_bucket_cfgs(cfg, buckets):
+    """[FABindConfig per bucket], smallest->largest, largest must cover
+    cfg.shapes. The single source of bucket-list validation shared by the
+    Loader and the DockingEngine."""
+    import dataclasses
+    bs = sorted(buckets or [cfg.shapes],
+                key=lambda s: (s.max_ligand, s.max_pocket, s.max_protein))
+    last = bs[-1]
+    assert (last.max_ligand >= cfg.shapes.max_ligand
+            and last.max_protein >= cfg.shapes.max_protein), \
+        "largest bucket must cover cfg.shapes"
+    return [dataclasses.replace(cfg, shapes=s) for s in bs]
+
+
+def route_sample(s, bucket_cfgs):
+    """Smallest bucket the sample fits, or None (oversize).
+
+    The pocket-size constraint only picks BETWEEN buckets: the largest
+    bucket accepts any pocket count (the Np crop truncates with the
+    pocket_overflow counter — the pre-bucket behavior). Shared by the
+    Loader and the DockingEngine so train-time and serve-time routing can
+    never diverge."""
+    n_lig = s["lig_feat"].shape[0]
+    n_prot = s["prot_xyz"].shape[0]
+    n_pkt = len(s["pocket_idx"])
+    for i, c in enumerate(bucket_cfgs):
+        sc = c.shapes
+        last = i == len(bucket_cfgs) - 1
+        if (n_lig <= sc.max_ligand and n_prot <= sc.max_protein
+                and (last or n_pkt <= sc.max_pocket)
+                and s["bond_deg"] <= sc.bond_k):
+            return c
+    return None

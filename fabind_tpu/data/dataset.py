@@ -234,39 +234,20 @@ class Loader:
         self.workers = workers
         self.prefetch_depth = prefetch_depth
         self.n_dropped = 0
-        if buckets:
-            import dataclasses
-            bs = sorted(buckets, key=lambda s: (s.max_ligand, s.max_pocket,
-                                                s.max_protein))
-            last = bs[-1]
-            assert (last.max_ligand >= cfg.shapes.max_ligand
-                    and last.max_protein >= cfg.shapes.max_protein), \
-                "largest bucket must cover cfg.shapes"
-            self.bucket_cfgs = [dataclasses.replace(cfg, shapes=s)
-                                for s in bs]
-        else:
-            self.bucket_cfgs = [cfg]
+        from fabind_tpu.data.buckets import sort_bucket_cfgs
+        self.bucket_cfgs = sort_bucket_cfgs(cfg, buckets)
+        # bucket routing is data-dependent per host: per-host batch counts
+        # could desynchronize the collective dp step — single bucket only
+        assert host_shard is None or len(self.bucket_cfgs) == 1, \
+            "host_shard (multi-host dp) is incompatible with shape buckets"
 
     def __len__(self):
         return (len(self.indices) + self.batch_size - 1) // self.batch_size
 
     def _route(self, s) -> Optional[FABindConfig]:
-        """Smallest bucket the sample fits (None -> oversize).
-
-        The pocket-size constraint only picks between buckets: the largest
-        bucket accepts any pocket (the Np crop truncates with the
-        pocket_overflow counter, exactly the pre-bucket behavior)."""
-        n_lig = s["lig_feat"].shape[0]
-        n_prot = s["prot_xyz"].shape[0]
-        n_pkt = len(s["pocket_idx"])
-        for i, c in enumerate(self.bucket_cfgs):
-            sc = c.shapes
-            last = i == len(self.bucket_cfgs) - 1
-            if (n_lig <= sc.max_ligand and n_prot <= sc.max_protein
-                    and (last or n_pkt <= sc.max_pocket)
-                    and s["bond_deg"] <= sc.bond_k):
-                return c
-        return None
+        """Smallest bucket the sample fits (None -> oversize)."""
+        from fabind_tpu.data.buckets import route_sample
+        return route_sample(s, self.bucket_cfgs)
 
     def epoch(self, epoch: int = 0, with_meta: bool = False,
               skip_batches: int = 0) -> Iterator:
@@ -320,10 +301,17 @@ class Loader:
         if self.group == "train":
             rng.shuffle(order)
         if self.host_shard is not None:
+            # every host must emit the SAME number of batches per epoch —
+            # the dp train step is a collective program, and a host that
+            # runs one extra step hangs the others. Equalize per-host
+            # sample counts by wrapping the strided slice to ceil(len/pc).
             pi, pc = self.host_shard
-            order = order[pi::pc]
+            per = -(-len(order) // pc)
+            order = [order[(pi + k * pc) % len(order)] for k in range(per)]
         bufs = {id(c): ([], [], c) for c in self.bucket_cfgs}
         n_emitted = 0
+        last_valid = None
+        deficit = 0
 
         def emit(buf, pdbs, cfg_b, n_real):
             batch = collate(buf, cfg_b, n_valid=n_real)
@@ -332,11 +320,36 @@ class Loader:
                                "cfg": cfg_b}
             return batch
 
+        def feed(cfg_b, raw, s, idx):
+            buf, pdbs, _ = bufs[id(cfg_b)]
+            buf.append(s)
+            pdbs.append(str(raw.get("pdb", idx)))
+            return len(buf) == self.batch_size
+
         for idx, raw, s in self._samples(order, rng):
             cfg_b = self._route(s)
             if cfg_b is None:
                 self.n_dropped += 1
-                continue
+                if self.host_shard is None:
+                    continue
+                # count stability across hosts: substitute an already-seen
+                # valid sample instead of dropping (a host-local drop would
+                # desynchronize per-host batch counts)
+                if last_valid is None:
+                    deficit += 1
+                    continue
+                cfg_b, raw, s, idx = last_valid
+            else:
+                if last_valid is None and deficit:
+                    for _ in range(deficit):
+                        if feed(cfg_b, raw, s, idx):
+                            if n_emitted >= skip_batches:
+                                yield emit(*bufs[id(cfg_b)][:2], cfg_b,
+                                           self.batch_size)
+                            n_emitted += 1
+                            bufs[id(cfg_b)] = ([], [], cfg_b)
+                    deficit = 0
+                last_valid = (cfg_b, raw, s, idx)
             buf, pdbs, _ = bufs[id(cfg_b)]
             buf.append(s)
             pdbs.append(str(raw.get("pdb", idx)))

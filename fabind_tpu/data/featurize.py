@@ -322,8 +322,10 @@ def select_chain_within_cutoff(pdb_path: str, lig_coords: np.ndarray,
     with open(out_path, "w") as f:
         for line in src_lines:
             rec = line[:6]
-            if rec in ("ATOM  ", "HETATM", "TER   ") or rec.startswith("TER"):
-                if line[21] not in keep:
+            if rec in ("ATOM  ", "HETATM") or rec.startswith("TER"):
+                # short-form "TER\n" records carry no chain column
+                chain = line[21] if len(line) > 21 else ""
+                if chain and chain not in keep:
                     continue
             f.write(line)
     return sorted(kept)
@@ -444,11 +446,12 @@ def extract_esm_feature(seq: str, model_name: str =
         model, params = _ESM_CACHE[key]
         from fabind_tpu.models.esm2 import embed_sequences
         return embed_sequences(model, params, [seq])[0]
-    if model_name not in _ESM_CACHE:
+    key = (model_name, str(device))
+    if key not in _ESM_CACHE:
         tok = AutoTokenizer.from_pretrained(model_name)
         model = EsmModel.from_pretrained(model_name).to(device).eval()
-        _ESM_CACHE[model_name] = (tok, model)
-    tok, model = _ESM_CACHE[model_name]
+        _ESM_CACHE[key] = (tok, model)
+    tok, model = _ESM_CACHE[key]
     import torch
     with torch.no_grad():
         toks = tok(seq, return_tensors="pt").to(device)

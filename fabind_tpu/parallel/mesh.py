@@ -34,8 +34,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "dp") -> Any:
-    """Device_put a batch pytree with the leading axis sharded over the mesh."""
+    """Shard a host batch pytree over the mesh's leading axis.
+
+    Single-process: a device_put with the dp sharding.
+
+    Multi-process (one process per host, as on TPU pods): each host's Loader
+    feeds a DIFFERENT local batch (host_shard strided slice), so the global
+    array must be assembled from per-process data —
+    `jax.make_array_from_process_local_data` stacks the local batches into a
+    global array of leading size local_B * process_count. A plain
+    device_put would (wrongly) assume every host passed the same global
+    value, silently training on 1/num_hosts of the data.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        def to_global(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, global_shape)
+        return jax.tree_util.tree_map(to_global, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

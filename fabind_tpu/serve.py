@@ -91,12 +91,8 @@ class DockingEngine:
         else:
             self._mesh = None
 
-        bs = sorted(buckets or [cfg.shapes],
-                    key=lambda s: (s.max_ligand, s.max_pocket, s.max_protein))
-        assert (bs[-1].max_ligand >= cfg.shapes.max_ligand
-                and bs[-1].max_protein >= cfg.shapes.max_protein), \
-            "largest bucket must cover cfg.shapes"
-        self.bucket_cfgs = [dataclasses.replace(cfg, shapes=s) for s in bs]
+        from fabind_tpu.data.buckets import sort_bucket_cfgs
+        self.bucket_cfgs = sort_bucket_cfgs(cfg, buckets)
         self._models = {id(c): make_model(c) for c in self.bucket_cfgs}
         self._fns: Dict[int, object] = {}
 
@@ -129,18 +125,13 @@ class DockingEngine:
     # ------------------------------------------------------------- routing
     def _route(self, s) -> FABindConfig:
         from fabind_tpu.data.batching import SampleTooLarge
-        n_lig = s["lig_feat"].shape[0]
-        n_prot = s["prot_xyz"].shape[0]
-        n_pkt = len(s["pocket_idx"])
-        for i, c in enumerate(self.bucket_cfgs):
-            sc = c.shapes
-            last = i == len(self.bucket_cfgs) - 1
-            if (n_lig <= sc.max_ligand and n_prot <= sc.max_protein
-                    and (last or n_pkt <= sc.max_pocket)
-                    and s["bond_deg"] <= sc.bond_k):
-                return c
-        raise SampleTooLarge(
-            f"complex (lig {n_lig}, prot {n_prot}) exceeds every bucket")
+        from fabind_tpu.data.buckets import route_sample
+        c = route_sample(s, self.bucket_cfgs)
+        if c is None:
+            raise SampleTooLarge(
+                f"complex (lig {s['lig_feat'].shape[0]}, "
+                f"prot {s['prot_xyz'].shape[0]}) exceeds every bucket")
+        return c
 
     def _fn(self, cfg_b: FABindConfig):
         import jax

@@ -49,10 +49,16 @@ int64_t pack_bonds(const int64_t* edges, int64_t e,
     int64_t i = edges[2 * t];
     int64_t j = edges[2 * t + 1];
     if (i < 0 || i >= N || j < 0 || j >= N) return -2;
-    // dedupe
+    // dedupe against the STORED neighbors only (first K): deg[i] counts true
+    // degree and may exceed K, but row holds just K entries — scanning past
+    // K would read the next atom's row (OOB). A duplicate edge arriving
+    // after K unique neighbors is counted again, which can only over-report
+    // max_deg -> callers raise a conservative overflow error, never ship a
+    // silently corrupted table.
     bool dup = false;
     int32_t* row = bond_idx + (b * N + i) * K;
-    for (int32_t k = 0; k < deg[i]; ++k) {
+    int32_t scan = deg[i] < (int32_t)K ? deg[i] : (int32_t)K;
+    for (int32_t k = 0; k < scan; ++k) {
       if (row[k] == (int32_t)j) { dup = true; break; }
     }
     if (dup) continue;

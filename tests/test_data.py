@@ -453,8 +453,11 @@ def test_suggest_buckets():
 
 
 def test_loader_host_shard_partitions_epoch():
-    """host_shard slices the (shared, deterministic) epoch permutation:
-    every index is served by exactly one host."""
+    """host_shard slices the (shared, deterministic) epoch permutation.
+    Every index is served, and — because the dp train step is a collective
+    program — every host emits the SAME number of batches even when the
+    index count doesn't divide evenly or a host-local sample is oversize
+    (wrap-padding + substitution, not drops)."""
     import numpy as np
     from fabind_tpu.config import preset
     from fabind_tpu.data.dataset import Loader
@@ -471,14 +474,42 @@ def test_loader_host_shard_partitions_epoch():
             served[idx] += 1
             return dict(self.samples[idx], pdb=f"x{idx}")
 
-    seen = []
+    seen, counts = [], []
     for pi in range(2):
         ld = Loader(Src(), range(7), cfg, group="train", seed=9,
                     host_shard=(pi, 2))
-        for _, meta in ld.epoch(4, with_meta=True):
+        batches = list(ld.epoch(4, with_meta=True))
+        counts.append(len(batches))
+        for _, meta in batches:
             seen += meta["pdb"]
-    assert sorted(seen) == sorted(f"x{i}" for i in range(7))
-    assert all(v == 1 for v in served.values())
+    # equal per-host batch counts (7 -> ceil(7/2)=4 samples per host)
+    assert counts == [4, 4]
+    # every index served at least once; only wrap-padding duplicates
+    assert set(seen) == {f"x{i}" for i in range(7)}
+    assert len(seen) == 8
+
+    # a host-local oversize sample is substituted, not dropped: batch
+    # counts still match across hosts
+    class SrcBig(Src):
+        def get(self, idx):
+            r = super().get(idx)
+            if idx == 3:   # one oversize ligand
+                r = dict(r, lig_feats=np.zeros((64, 56), np.float32),
+                         lig_coords=np.zeros((64, 3), np.float32),
+                         rdkit_coords=np.zeros((64, 3), np.float32),
+                         las_mask=np.zeros((64, 64), bool),
+                         bond_edges=np.zeros((0, 2), np.int64))
+            return r
+
+    counts2 = []
+    for pi in range(2):
+        ld = Loader(SrcBig(), range(7), cfg, group="train", seed=9,
+                    host_shard=(pi, 2))
+        counts2.append(len(list(ld.epoch(4))))
+    assert counts2 == [4, 4]
+    # single-host behavior unchanged: oversize samples are dropped
+    ld = Loader(SrcBig(), range(7), cfg, group="train", seed=9)
+    assert len(list(ld.epoch(4))) == 6
 
 
 def test_loader_skip_batches_resumes_exact_sequence():

@@ -47,3 +47,42 @@ def test_native_collate_matches_python():
             np.testing.assert_array_equal(va.sum(-1), vb.sum(-1))
         else:
             np.testing.assert_array_equal(va, vb, err_msg=name)
+
+
+def test_native_pack_bonds_overflow_is_loud():
+    """Degree above the bond_k bucket must raise SampleTooLarge, never ship
+    a truncated neighbor table (the dedupe scan is bounded by K — an atom
+    with more than K unique neighbors previously read out of bounds)."""
+    import numpy as np
+    import pytest
+    from fabind_tpu.data.batching import SampleTooLarge
+    from fabind_tpu.data import native
+
+    try:
+        native.get_lib()
+    except Exception:
+        pytest.skip("native collator unavailable")
+    # star graph: atom 0 bonded to 1..6 (degree 6), duplicates included
+    edges = []
+    for j in range(1, 7):
+        edges += [(0, j), (j, 0), (0, j)]
+    edges = np.asarray(edges, np.int64)
+    n = 7
+    for Kb in (2, 4):   # well below degree 6
+        bond_idx = np.zeros((1, n, Kb), np.int32)
+        bond_mask = np.zeros((1, n, Kb), np.uint8)
+        lib = native.get_lib()
+        deg = lib.pack_bonds(native._i64(edges), edges.shape[0],
+                             native._i32(bond_idx), native._u8(bond_mask),
+                             0, n, Kb)
+        assert deg > Kb, f"overflow must be reported (deg={deg}, Kb={Kb})"
+    # degree within K still exact
+    Kb = 8
+    bond_idx = np.zeros((1, n, Kb), np.int32)
+    bond_mask = np.zeros((1, n, Kb), np.uint8)
+    deg = native.get_lib().pack_bonds(
+        native._i64(edges), edges.shape[0], native._i32(bond_idx),
+        native._u8(bond_mask), 0, n, Kb)
+    assert deg == 6
+    assert sorted(bond_idx[0, 0, :6].tolist()) == [1, 2, 3, 4, 5, 6]
+    assert bond_mask[0, 0, :6].all() and not bond_mask[0, 0, 6:].any()
