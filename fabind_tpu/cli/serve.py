@@ -1,0 +1,72 @@
+"""Serving daemon driver.
+
+Starts a checkpoint-resident DockingEngine behind the stdlib HTTP server
+(fabind_tpu.serve_http). No reference counterpart — the reference's
+inference is one-shot scripts (fabind_inference.py:285-392).
+
+Usage:
+  python -m fabind_tpu.cli.serve --preset fabind --ckpt ckpt/best_model.bin \
+      [--port 8400] [--batch-size 16] [--no-bf16] [--dp N] \
+      [--buckets auto --data /path/pdbbind | --buckets l:p:r,l:p:r]
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="fabind",
+                   choices=["fabind", "fabind_plus", "fabind_plus_sampling",
+                            "fabflex"])
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8400)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel serving over N devices")
+    p.add_argument("--post-optim-steps", type=int, default=0)
+    p.add_argument("--buckets", default=None,
+                   help="explicit shape buckets 'lig:pocket:protein,...' "
+                        "(smallest first; the largest must cover the "
+                        "preset's shapes)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    args = p.parse_args(argv)
+
+    from fabind_tpu.config import preset
+    from fabind_tpu.serve import DockingEngine
+    from fabind_tpu.serve_http import serve_forever
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                v = {"true": True, "false": False}.get(v.lower(), v)
+        overrides[k] = v
+    cfg = preset(args.preset, **overrides)
+
+    buckets = None
+    if args.buckets:
+        import dataclasses
+        buckets = []
+        for spec in args.buckets.split(","):
+            ml, mp, mr = (int(v) for v in spec.split(":"))
+            buckets.append(dataclasses.replace(
+                cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
+
+    engine = DockingEngine(cfg, ckpt=args.ckpt, buckets=buckets,
+                           batch_size=args.batch_size,
+                           bf16=not args.no_bf16,
+                           post_optim_steps=args.post_optim_steps,
+                           dp=args.dp)
+    serve_forever(engine, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

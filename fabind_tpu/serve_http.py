@@ -1,0 +1,143 @@
+"""Minimal HTTP serving daemon around `DockingEngine` (stdlib-only).
+
+The reference ships one-shot inference scripts (fabind_inference.py); the
+engine (`fabind_tpu.serve`) makes docking a resident library call, and this
+module makes it a network service: the checkpoint loads once, each shape
+bucket compiles once, then requests are served until shutdown.
+
+Endpoints:
+  GET  /health     -> {"status": "ok", "buckets": [...], "batch_size": N}
+  POST /dock_raw   -> body: .npz bytes; arrays for request i are prefixed
+                      "r{i}_" (r0_lig_coords, r0_lig_feats, r0_bond_edges,
+                      r0_las_mask, r0_rdkit_coords, r0_protein_xyz,
+                      r0_esm_feat, ...). Response: JSON list of
+                      {coords, confidence, error} in request order.
+  POST /screen     -> body: .npz bytes; shared protein under "protein_xyz"/
+                      "esm_feat" (+optional "protein_full_coords"), ligands
+                      under "r{i}_" prefixes. Same response shape.
+  POST /dock       -> body: JSON [{"smiles": ..., "pdb": server_path}, ...]
+                      (requires RDKit on the server). Same response shape.
+
+Run:  python -m fabind_tpu.cli.serve --preset fabind --ckpt best_model.bin \
+          --port 8400 [--buckets auto --data ...]
+
+Transport notes: npz keeps the 1280-d ESM features binary (JSON floats
+would 4x the payload); responses are JSON because poses are small. The
+server is a ThreadingHTTPServer but engine calls are serialized under a
+lock — batching across concurrent clients happens by sending multiple
+requests in one npz, which the engine routes and batches internally.
+"""
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List
+
+import numpy as np
+
+_PREFIX = re.compile(r"^r(\d+)_(.+)$")
+
+
+def _group_npz(data: bytes) -> List[Dict[str, np.ndarray]]:
+    """Split "r{i}_{field}" npz entries into per-request dicts; un-prefixed
+    entries are shared by every request."""
+    z = np.load(io.BytesIO(data), allow_pickle=False)
+    shared: Dict[str, np.ndarray] = {}
+    per: Dict[int, Dict[str, np.ndarray]] = {}
+    for k in z.files:
+        m = _PREFIX.match(k)
+        if m:
+            per.setdefault(int(m.group(1)), {})[m.group(2)] = z[k]
+        else:
+            shared[k] = z[k]
+    if not per:
+        return [shared] if shared else []
+    out = []
+    for i in range(max(per) + 1):
+        d = dict(shared)
+        d.update(per.get(i, {}))
+        out.append(d)
+    return out
+
+
+def _poses_json(poses) -> bytes:
+    out = []
+    for p in poses:
+        out.append({
+            "coords": np.asarray(p.coords, np.float32).tolist(),
+            "confidence": float(p.confidence),
+            "error": p.error,
+        })
+    return json.dumps(out).encode()
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8400
+                ) -> ThreadingHTTPServer:
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):   # quiet by default
+            pass
+
+        def _reply(self, code: int, body: bytes,
+                   ctype: str = "application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/health":
+                return self._reply(404, b'{"error": "not found"}')
+            info = {
+                "status": "ok",
+                "batch_size": engine.batch_size,
+                "bf16": engine.bf16,
+                "dp": engine.dp,
+                "buckets": [[c.shapes.max_ligand, c.shapes.max_pocket,
+                             c.shapes.max_protein]
+                            for c in engine.bucket_cfgs],
+            }
+            self._reply(200, json.dumps(info).encode())
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                if self.path == "/dock_raw":
+                    raws = _group_npz(body)
+                    with lock:
+                        poses = engine.dock_raw(raws)
+                elif self.path == "/screen":
+                    reqs = _group_npz(body)
+                    pkeys = ("protein_xyz", "esm_feat",
+                             "protein_full_coords")
+                    protein = {k: reqs[0][k] for k in pkeys if k in reqs[0]}
+                    ligs = [{k: v for k, v in r.items() if k not in pkeys}
+                            for r in reqs]
+                    with lock:
+                        poses = engine.dock_screen(protein, ligs)
+                elif self.path == "/dock":
+                    reqs = json.loads(body)
+                    pairs = [(r["smiles"], r["pdb"]) for r in reqs]
+                    with lock:
+                        poses = engine.dock_smiles(pairs)
+                else:
+                    return self._reply(404, b'{"error": "not found"}')
+                self._reply(200, _poses_json(poses))
+            except Exception as e:   # per-request fault isolation
+                self._reply(500, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(engine, host: str = "127.0.0.1", port: int = 8400) -> None:
+    srv = make_server(engine, host, port)
+    print(f"fabind_tpu serving on http://{host}:{srv.server_address[1]} "
+          f"(buckets: {len(engine.bucket_cfgs)}, batch {engine.batch_size})")
+    srv.serve_forever()

@@ -1,0 +1,78 @@
+"""HTTP serving daemon (fabind_tpu.serve_http) driven over a real socket."""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+
+from fabind_tpu.config import preset
+from fabind_tpu.serve import DockingEngine
+from fabind_tpu.serve_http import make_server
+
+from common import TINY
+from test_serve import make_raw
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _npz_bytes(entries):
+    buf = io.BytesIO()
+    np.savez(buf, **entries)
+    return buf.getvalue()
+
+
+def test_http_dock_raw_screen_and_health():
+    cfg = preset("fabind", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    srv = make_server(eng, "127.0.0.1", 0)   # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch_size"] == 2
+
+        # /dock_raw: two requests in one npz
+        raws = [make_raw(n=5, nr=20, seed=1), make_raw(n=6, nr=20, seed=2)]
+        entries = {}
+        for i, raw in enumerate(raws):
+            for k, v in raw.items():
+                entries[f"r{i}_{k}"] = v
+        status, poses = _post(base + "/dock_raw", _npz_bytes(entries),
+                              "application/octet-stream")
+        assert status == 200 and len(poses) == 2
+        for i, pose in enumerate(poses):
+            assert pose["error"] is None
+            arr = np.asarray(pose["coords"], np.float32)
+            assert arr.shape == (5 + i, 3) and np.isfinite(arr).all()
+
+        # /screen: shared protein + two ligands
+        base_raw = make_raw(n=6, nr=20, seed=3)
+        entries = {k: base_raw[k] for k in ("protein_xyz", "esm_feat")}
+        for i in range(2):
+            lig = make_raw(n=5 + i, nr=20, seed=4 + i)
+            for k in ("lig_coords", "lig_feats", "bond_edges", "las_mask",
+                      "rdkit_coords"):
+                entries[f"r{i}_{k}"] = lig[k]
+        status, poses = _post(base + "/screen", _npz_bytes(entries),
+                              "application/octet-stream")
+        assert status == 200 and len(poses) == 2
+        assert all(p["error"] is None for p in poses)
+
+        # unknown path -> 404
+        try:
+            _post(base + "/nope", b"{}", "application/json")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
