@@ -73,11 +73,12 @@ def make_train_step(model: FABind, cfg: FABindConfig,
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, batch, key)
         # NaN-batch skip (main_fabind.py:394-396): zero the update instead of
-        # a host-side `continue`
-        checks = [jnp.isfinite(loss)] + [
-            jnp.isfinite(jnp.sum(jnp.abs(g)))
-            for g in jax.tree_util.tree_leaves(grads)]
-        ok = jnp.stack(checks).all()
+        # a host-side `continue`. One check suffices: NaN/Inf in any grad
+        # leaf propagates into the global norm (which the metrics need
+        # anyway); step time is unchanged vs per-leaf checks (XLA fused
+        # them), this is just fewer HLO ops.
+        grad_norm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -86,7 +87,7 @@ def make_train_step(model: FABind, cfg: FABindConfig,
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["skipped_nan"] = (~ok).astype(jnp.float32)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, rng=state.rng), metrics
 
