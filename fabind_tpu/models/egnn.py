@@ -112,14 +112,14 @@ def _egcl_mlps(cfg: ModelConfig, hidden: int, edge_in: int):
         coord_mlp = MLPBlock(s * hidden, 1, act="relu",
                              use_ln=cfg.use_ln_mlp, bias_out=False,
                              dropout_rate=cfg.dropout, dropout_pos="inner",
-                             name="coord_mlp")
+                             out_init_gain=0.001, name="coord_mlp")
     else:
         edge_mlp = MLPBlock(hidden, hidden, act="silu",
                             last_act=True, name="edge_mlp")
         node_mlp = MLPBlock(hidden, hidden, act="silu",
                             name="node_mlp")
         coord_mlp = MLPBlock(hidden, 1, act="silu", bias_out=False,
-                             name="coord_mlp")
+                             out_init_gain=0.001, name="coord_mlp")
     return edge_mlp, node_mlp, coord_mlp
 
 
@@ -337,10 +337,10 @@ class InterAttention(nn.Module):
             coord_mlp = MLPBlock(s * self.hidden, 1, act="relu",
                                  use_ln=cfg.use_ln_mlp, bias_out=False,
                                  dropout_rate=cfg.dropout, dropout_pos="inner",
-                                 name="coord_mlp")
+                                 out_init_gain=0.001, name="coord_mlp")
         else:
             coord_mlp = MLPBlock(self.hidden, 1, act="silu", bias_out=False,
-                                 name="coord_mlp")
+                                 out_init_gain=0.001, name="coord_mlp")
         drop = nn.Dropout(cfg.dropout, name="dropout")
 
         # decompose coord_mlp.linear1 over v_edge = v_node + r * v_r: the

@@ -16,6 +16,7 @@ transformers' modeling_esm.py (independent flax implementation).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -220,20 +221,37 @@ def esm2_from_torch(torch_model, cfg: Optional[Esm2Config] = None):
     return model, params
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _esm_forward(model: "Esm2Model", params, ids, mask):
+    return model.apply({"params": params}, ids, mask)
+
+
+_DEVICE_PARAMS: dict = {}
+
+
 def embed_sequences(model: Esm2Model, params, seqs: List[str],
                     pad_multiple: int = 128,
                     dtype=jnp.float32) -> List[np.ndarray]:
     """Batch-embed sequences on the available accelerator; returns per-seq
     [len, hidden] arrays with <cls>/<eos> stripped (generate_esm2_t33.py:
     40-46 takes representations[1:len+1]). Sequences are bucketed to
-    pad_multiple lengths so jit re-specializes once per bucket."""
-    @jax.jit
-    def run(p, ids, mask):
-        return model.apply({"params": p}, ids, mask)
+    pad_multiple lengths so jit re-specializes once per bucket.
 
-    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype)
-                                    if jnp.asarray(x).dtype == jnp.float32
-                                    else jnp.asarray(x), params)
+    The jitted forward is module-level (flax modules hash structurally, so
+    every call with the same config shares executables) and the converted
+    ~2.6GB param tree is cast + device_put once per (id(params), dtype) —
+    a per-call cast/upload used to cost more than the forward itself."""
+    # keyed by identity; the cached entry keeps a strong reference to the
+    # source tree so its id() cannot be recycled while cached
+    key = (id(params), jnp.dtype(dtype).name)
+    if key not in _DEVICE_PARAMS:
+        _DEVICE_PARAMS.clear()   # hold at most one resident tree
+        _DEVICE_PARAMS[key] = (params, jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype)
+            if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x),
+            params))
+    params = _DEVICE_PARAMS[key][1]
+    run = functools.partial(_esm_forward, model)
     out = []
     for seq in seqs:
         L = len(seq) + 2

@@ -69,12 +69,18 @@ class FABind(nn.Module):
         Cp = cfg.pocket_pred_hidden_size
         self.glb_c = self.param("glb_c", nn.initializers.ones, (1, C))
         self.glb_p = self.param("glb_p", nn.initializers.ones, (1, C))
+        # xavier(gain=0.001) init per the reference (base model.py:74-77;
+        # plus model.py:47-50)
+        from fabind_tpu.models.layers import xavier_uniform_gain
+        init = xavier_uniform_gain(0.001)
         self.protein_linear_whole_protein = nn.Dense(
-            C, name="protein_linear_whole_protein")
+            C, kernel_init=init, name="protein_linear_whole_protein")
         self.compound_linear_whole_protein = nn.Dense(
-            C, name="compound_linear_whole_protein")
-        self.embedding_shrink = nn.Dense(Cp, name="embedding_shrink")
-        self.embedding_enlarge = nn.Dense(C, name="embedding_enlarge")
+            C, kernel_init=init, name="compound_linear_whole_protein")
+        self.embedding_shrink = nn.Dense(Cp, kernel_init=init,
+                                         name="embedding_shrink")
+        self.embedding_enlarge = nn.Dense(C, kernel_init=init,
+                                          name="embedding_enlarge")
 
         self.pocket_pred_model = EfficientMCAttModel(
             cfg, Cp, Cp, cfg.pocket_pred_layers, cfg.pocket_pred_n_iter,
@@ -112,7 +118,10 @@ class FABind(nn.Module):
             self.protein_to_pocket = TransitionDiffOutDim(
                 out_dim=1, n=4, name="protein_to_pocket")
             self.layernorm = nn.LayerNorm(epsilon=1e-5, name="layernorm")
-            self.distmap_mlp = MLPBlock(C, 1, act="relu", name="distmap_mlp")
+            # both distmap linears xavier(gain=0.001) (model.py:78-79)
+            self.distmap_mlp = MLPBlock(C, 1, act="relu", out_init_gain=0.001,
+                                        l1_init_gain=0.001,
+                                        name="distmap_mlp")
 
     # ------------------------------------------------------------------ utils
     def _masked_mean(self, v: Array, mask: Array) -> Array:

@@ -26,6 +26,14 @@ Array = jax.Array
 ACTS = {"silu": jax.nn.silu, "relu": jax.nn.relu}
 
 
+def xavier_uniform_gain(gain: Optional[float]):
+    """torch xavier_uniform_(gain=g) == variance_scaling(g^2, fan_avg,
+    uniform); None -> flax's default Dense init."""
+    if gain is None:
+        return nn.initializers.lecun_normal()
+    return nn.initializers.variance_scaling(gain ** 2, "fan_avg", "uniform")
+
+
 class MLPBlock(nn.Module):
     """Configurable 2-linear MLP covering both variants' MLP families.
 
@@ -51,14 +59,25 @@ class MLPBlock(nn.Module):
     dropout_rate: float = 0.0
     # dropout placement: "none" | "inner" (after first act) | "both"
     dropout_pos: str = "none"
+    # xavier_uniform gain for the output (and optionally first) layer:
+    # the reference initializes every coord_mlp head (base
+    # egnn.py:51-52,162-164; plus egnn.py:41,135) and the base distmap_mlp
+    # (model.py:78-79) with gain=0.001 so updates start ~1000x small.
+    # None = flax default.
+    out_init_gain: Optional[float] = None
+    l1_init_gain: Optional[float] = None
 
     def setup(self):
         # attribute names define the param paths (linear1/linear2/layernorm),
         # matching the torch module names for checkpoint conversion
         if self.use_ln:
             self.layernorm = nn.LayerNorm(epsilon=1e-5)
-        self.linear1 = nn.Dense(self.hidden_dim)
-        self.linear2 = nn.Dense(self.out_dim, use_bias=self.bias_out)
+        self.linear1 = nn.Dense(
+            self.hidden_dim,
+            kernel_init=xavier_uniform_gain(self.l1_init_gain))
+        self.linear2 = nn.Dense(
+            self.out_dim, use_bias=self.bias_out,
+            kernel_init=xavier_uniform_gain(self.out_init_gain))
         if self.dropout_rate > 0 and self.dropout_pos in ("inner", "both"):
             self.dropout1 = nn.Dropout(self.dropout_rate)
         if self.dropout_rate > 0 and self.dropout_pos == "both":
@@ -175,9 +194,12 @@ class TransitionDiffOutDim(nn.Module):
     @nn.compact
     def __call__(self, z: Array) -> Array:
         h = z.shape[-1]
+        # both linears xavier(gain=0.001)-initialized (model.py:17-19)
+        init = xavier_uniform_gain(0.001)
         z = nn.LayerNorm(epsilon=1e-5, name="layernorm")(z)
-        z = nn.Dense(self.n * h, name="linear1")(z)
-        z = nn.Dense(self.out_dim, name="linear2")(jax.nn.relu(z))
+        z = nn.Dense(self.n * h, kernel_init=init, name="linear1")(z)
+        z = nn.Dense(self.out_dim, kernel_init=init,
+                     name="linear2")(jax.nn.relu(z))
         return z
 
 

@@ -13,26 +13,6 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def radial_norm_factor(radial_sq_sum: Array, norm_type: str, rm_F_norm: bool) -> Array:
-    """Per-sample normalizer for radial features (egnn.py:772-786).
-
-    The reference divides each edge's radial by sqrt(sum over the sample's
-    edges of radial^2) ('per_sample'). 'all_sample' normalizes over the whole
-    batch (F.normalize(dim=0)); 'none'/rm_F_norm disables.
-
-    Args:
-      radial_sq_sum: [B] sum of radial^2 over the current layer's edge set.
-    Returns:
-      [B] divisor (1.0 where normalization is off).
-    """
-    if rm_F_norm or norm_type == "none":
-        return jnp.ones_like(radial_sq_sum)
-    if norm_type == "per_sample":
-        return jnp.sqrt(radial_sq_sum)
-    if norm_type == "all_sample":
-        return jnp.sqrt(jnp.sum(radial_sq_sum)) * jnp.ones_like(radial_sq_sum)
-    raise ValueError(f"unsupported norm_type {norm_type!r}")
-
 
 def safe_div(a: Array, b: Array) -> Array:
     return a / jnp.where(b == 0, 1.0, b)

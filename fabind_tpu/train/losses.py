@@ -11,6 +11,7 @@ constant offset differs.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -88,6 +89,28 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
     """
     crit = coord_criterion(tcfg.coord_loss_function)
 
+    # ---- row validity: trailing-batch padding duplicates get zero weight
+    # in every loss term and metric (the loader repeats the last sample to
+    # fill the fixed batch; types.py sample_valid marks the copies) ----
+    if batch.sample_valid is not None:
+        sv = batch.sample_valid.astype(bool)
+    else:
+        sv = jnp.ones(batch.lig_feat.shape[0], bool)
+    svf = sv.astype(jnp.float32)
+
+    def row_mean(x):
+        return jnp.sum(x * svf) / jnp.maximum(jnp.sum(svf), 1.0)
+
+    out = dataclasses.replace(
+        out,
+        lig_mask=out.lig_mask & sv[:, None],
+        pair_valid=out.pair_valid & sv[:, None, None],
+        prot_mask=out.prot_mask & sv[:, None],
+        pkt_mask=(out.pkt_mask & sv[:, None]
+                  if getattr(out, "pkt_mask", None) is not None else
+                  out.pkt_mask),
+    )
+
     # ---- ligand coordinate loss ----
     if tcfg.permutation_invariant and batch.isomorphisms is not None:
         com_coord_loss = permutation_coord_loss(
@@ -115,7 +138,8 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         dismap_total = w * contact_loss + w * contact_by_pred + wd * contact_distill
 
     # ---- pocket classification ----
-    bce = bce_with_logits(out.pocket_cls_logits, out.pocket_cls_label)
+    bce = bce_with_logits(out.pocket_cls_logits,
+                          out.pocket_cls_label) * svf[:, None]
     valid = jnp.sum(out.prot_mask)
     if tcfg.legacy_padded_bce:
         # reference computes mean over the padded grid then rescales by
@@ -126,15 +150,16 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
     pocket_cls_loss = tcfg.pocket_cls_loss_weight * pocket_cls_loss
 
     # ---- pocket center (Huber, delta=pocket_coord_huber_delta) ----
-    pocket_coord_loss = tcfg.pocket_distance_loss_weight * jnp.mean(
+    pocket_coord_loss = tcfg.pocket_distance_loss_weight * row_mean(
         huber(out.pred_pocket_center, batch.coords_center,
-              tcfg.pocket_coord_huber_delta))
+              tcfg.pocket_coord_huber_delta).mean(-1))
 
     # ---- pocket radius (FABind+, training.py:71-74) ----
     radius_loss = jnp.zeros(())
     if mcfg.is_plus and not mcfg.force_fix_radius:
-        radius_loss = tcfg.pocket_radius_loss_weight * jnp.mean(
-            huber(out.pocket_radius_pred, batch.ligand_radius, 1.0))
+        radius_loss = tcfg.pocket_radius_loss_weight * row_mean(
+            huber(out.pocket_radius_pred, batch.ligand_radius,
+                  tcfg.pocket_coord_huber_delta))
 
     # ---- flexible-docking pocket coordinates (FABFlex-style) ----
     # supervise the docked pocket conformation against the dataset's pocket
@@ -172,10 +197,10 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         "pocket_coord_loss": pocket_coord_loss,
         "pocket_radius_loss": radius_loss,
         "flex_pocket_coord_loss": flex_pocket_loss,
-        "rmsd_mean": jnp.mean(rmsd),
-        "rmsd_lt2": jnp.mean((rmsd < 2.0).astype(jnp.float32)),
-        "rmsd_lt5": jnp.mean((rmsd < 5.0).astype(jnp.float32)),
-        "centroid_dis_mean": jnp.mean(centroid),
+        "rmsd_mean": row_mean(rmsd),
+        "rmsd_lt2": row_mean((rmsd < 2.0).astype(jnp.float32)),
+        "rmsd_lt5": row_mean((rmsd < 5.0).astype(jnp.float32)),
+        "centroid_dis_mean": row_mean(centroid),
         "use_stage2": out.use_stage2.astype(jnp.float32),
         "keep_less_5": jnp.sum(out.keep_less_5.astype(jnp.float32)),
         "pocket_overflow": jnp.sum(out.pocket_overflow.astype(jnp.float32)),

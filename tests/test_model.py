@@ -103,3 +103,25 @@ def test_inference_matches_eval_stage2_shape(setup):
         lambda v, b: model.apply(v, b, method="inference"))(variables, batch)
     assert coords.shape == (2, cfg.shapes.max_ligand, 3)
     assert bool(jnp.isfinite(coords).all())
+
+
+def test_reference_init_gains(setup):
+    """Coordinate-update heads and the whole-protein embedding layers must
+    start xavier(gain=0.001)-small (reference egnn.py:51-52,162-164,
+    model.py:74-79) — from-scratch training stability depends on it."""
+    cfg, batch, model, variables = setup[:4]
+    import numpy as np
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    checked = 0
+    for path, leaf in flat:
+        names = [getattr(p, "key", "") for p in path]
+        if "kernel" not in names:
+            continue
+        joined = "/".join(names)
+        if ("coord_mlp" in joined and "linear2" in joined) or \
+                "embedding_shrink" in joined or "embedding_enlarge" in joined:
+            fan_in, fan_out = leaf.shape[-2], leaf.shape[-1]
+            limit = 0.001 * np.sqrt(6.0 / (fan_in + fan_out))
+            assert float(jnp.abs(leaf).max()) <= limit * 1.0001, joined
+            checked += 1
+    assert checked >= 4, f"only {checked} gain-initialized kernels found"
