@@ -85,7 +85,9 @@ def main(argv=None):
         for i in range(mol.GetNumAtoms()):
             x, y, z = map(float, pose.coords[i])
             conf.SetAtomPosition(i, Point3D(x, y, z))
-        name = f"{meta['pdb']}_{abs(hash(meta['smiles'])) % 10**8}"
+        # deterministic across runs (str hash() is randomized per process)
+        import zlib
+        name = f"{meta['pdb']}_{zlib.crc32(meta['smiles'].encode()):08x}"
         sdf = os.path.join(args.output, name + ".sdf")
         w = Chem.SDWriter(sdf)
         w.SetKekulize(False)

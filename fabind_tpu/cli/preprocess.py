@@ -59,6 +59,17 @@ def _maybe_isomorphisms(rec, max_iso: int):
         feats.shape[0], rec["bond_edges"], labels, max_iso=max_iso)
 
 
+def _safe_mol_record(smiles, seed, n_conf):
+    """skip-and-continue per ligand (reference fabind_inference.py:374-375
+    wraps the whole batch; one bad SMILES must not abort the run). Module
+    level so multiprocessing.Pool can pickle it."""
+    try:
+        return _mol_record(smiles, seed, n_conf)
+    except Exception as e:
+        _log(f"skip {smiles!r}: {type(e).__name__}: {e}")
+        return None
+
+
 def run_inference_mode(args):
     from fabind_tpu.data.featurize import (extract_esm_feature,
                                            extract_protein_structure)
@@ -71,15 +82,18 @@ def run_inference_mode(args):
         from multiprocessing import Pool
         with Pool(args.workers) as pool:
             mol_recs = pool.starmap(
-                _mol_record,
+                _safe_mol_record,
                 [(r["smiles"], args.seed, args.num_conformers) for r in rows])
     else:
-        mol_recs = [_mol_record(r["smiles"], args.seed, args.num_conformers)
+        mol_recs = [_safe_mol_record(r["smiles"], args.seed,
+                                     args.num_conformers)
                     for r in rows]
 
     protein_cache = {}
     n_ok = 0
     for row, recs in zip(rows, mol_recs):
+        if recs is None:
+            continue
         try:
             pdb_file = row["pdb_file"]
             if pdb_file not in protein_cache:

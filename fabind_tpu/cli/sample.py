@@ -81,6 +81,7 @@ def _halves(model):
 
 
 def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
+                 batch_idx: int = 0,
                  use_clustering: Optional[bool] = None):
     """Run sample_size stochastic inference passes; returns
     (coords [S, B, Nc, 3], scores [S, B])."""
@@ -100,7 +101,10 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     cls_probs = 1.0 / (1.0 + np.exp(-np.asarray(cls_logits)))
 
     import jax
-    rng = np.random.RandomState(seed)
+    # fold the batch index into both streams: with a constant seed every
+    # loader batch would repeat the same dropout keys and DBSCAN draws,
+    # narrowing the sampling distribution the best-of-N benchmark measures
+    rng = np.random.RandomState((seed * 1000003 + batch_idx) % (2 ** 31))
     all_coords, all_scores = [], []
     for s in range(sample_size):
         center = default_center
@@ -110,7 +114,8 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
                 np.asarray(batch.prot_mask), m.dbscan_eps,
                 m.dbscan_min_samples, m.choose_cluster_prob,
                 default_center, rng)
-        key = jax.random.PRNGKey(seed * 100003 + s)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), batch_idx), s)
         coords, conf = dock_half(params, batch, jnp.asarray(center), key)
         all_coords.append(np.asarray(coords))
         all_scores.append(np.asarray(conf))
@@ -176,10 +181,11 @@ def main(argv=None):
 
     # [S, n] per-complex arrays across sample epochs
     rmsds, cents, confs, pdbs = [], [], [], []
-    for batch, meta in loader.epoch(0, with_meta=True):
+    for bi, (batch, meta) in enumerate(loader.epoch(0, with_meta=True)):
         nv = meta["n_valid"]
         coords, scores = sample_poses(model, params, batch, cfg,
-                                      args.sample_size, seed=args.seed)
+                                      args.sample_size, seed=args.seed,
+                                      batch_idx=bi)
         true = np.asarray(batch.lig_coords)
         mask = np.asarray(batch.lig_mask)
         rmsds.append(np.stack([ligand_rmsd(c, true, mask)[:nv]

@@ -38,17 +38,8 @@ def main(argv=None):
     from fabind_tpu.serve import DockingEngine
     from fabind_tpu.serve_http import serve_forever
 
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = int(v)
-        except ValueError:
-            try:
-                v = float(v)
-            except ValueError:
-                v = {"true": True, "false": False}.get(v.lower(), v)
-        overrides[k] = v
+    from fabind_tpu.config import parse_overrides
+    overrides = parse_overrides(args.set)
     cfg = preset(args.preset, **overrides)
 
     buckets = None

@@ -76,17 +76,8 @@ def main(argv=None):
     from fabind_tpu.utils.logging_utils import Logger
     from fabind_tpu.utils.metrics import MetricAccumulator
 
-    overrides = {}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = int(v)
-        except ValueError:
-            try:
-                v = float(v)
-            except ValueError:
-                v = {"true": True, "false": False}.get(v.lower(), v)
-        overrides[k] = v
+    from fabind_tpu.config import parse_overrides
+    overrides = parse_overrides(args.set)
     if args.epochs:
         overrides["total_epochs"] = args.epochs
     if args.batch_size:
@@ -173,20 +164,28 @@ def main(argv=None):
                     for s in (signal.SIGTERM, signal.SIGINT)}
 
     step = int(state.step)
+    # profiler window counts steps taken THIS run (absolute step numbers
+    # break under --resume: a run resumed past step 10 would stop_trace
+    # without ever starting one)
+    run_steps = 0
+    tracing = False
     for epoch in range(start_epoch, cfg.train.total_epochs):
         t0 = time.time()
         batch_in_epoch = skip_batches
         for batch in train_loader.epoch(epoch, skip_batches=skip_batches):
             batch = shard_batch(batch, mesh)
-            if args.profile_dir and step == 10:
+            if args.profile_dir and run_steps == 10:
                 jax.profiler.start_trace(args.profile_dir)
+                tracing = True
             state, metrics = train_step(state, batch)
             step += 1
             batch_in_epoch += 1
-            if args.profile_dir and step == 15:
+            run_steps += 1
+            if tracing and run_steps == 15:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), state.params)
                 jax.profiler.stop_trace()
+                tracing = False
                 logger.log_message(f"profiler trace -> {args.profile_dir}")
             if step % 50 == 0:
                 logger.log_metrics(metrics, step)
@@ -214,6 +213,9 @@ def main(argv=None):
                 logger.log_metrics(acc.summarize(), step,
                                    phase=f"valid_stage{stage}")
 
+    if tracing:
+        jax.profiler.stop_trace()
+        logger.log_message(f"profiler trace (short run) -> {args.profile_dir}")
     ckptr.close()
     for s, h in old_handlers.items():
         signal.signal(s, h)

@@ -68,17 +68,8 @@ def main(argv=None):
                                              make_confidence_train_step)
     from fabind_tpu.utils.logging_utils import Logger
 
-    overrides = {"confidence_training": True}
-    for kv in args.set:
-        k, v = kv.split("=", 1)
-        try:
-            v = int(v)
-        except ValueError:
-            try:
-                v = float(v)
-            except ValueError:
-                v = {"true": True, "false": False}.get(v.lower(), v)
-        overrides[k] = v
+    from fabind_tpu.config import parse_overrides
+    overrides = {"confidence_training": True, **parse_overrides(args.set)}
     if args.epochs:
         overrides["total_epochs"] = args.epochs
     if args.batch_size:
@@ -112,7 +103,12 @@ def main(argv=None):
 
     loader = Loader(source, train_idx, cfg, group="train",
                     seed=cfg.train.seed, workers=8, prefetch_depth=2)
-    first = next(loader.epoch(0))
+    # synthetic template batch: shapes are all that matter, and pulling the
+    # first real batch would spin up (then abandon) the prefetch worker pool
+    from fabind_tpu.data.types import dummy_batch
+    first = jax.jit(lambda: dummy_batch(
+        cfg.shapes, batch_size=cfg.train.batch_size,
+        prot_feat_dim=cfg.model.protein_feat_dim))()
 
     model = make_model(cfg)
     key = jax.random.PRNGKey(cfg.train.seed)
@@ -132,14 +128,10 @@ def main(argv=None):
             f"{len(report['unused'])} unused")
         params = restored
     elif args.init_ckpt:
-        # restore a regression TrainState's params (superset-safe): build the
-        # regression param template, then overlay onto the confidence init
+        # restore a regression TrainState's params (superset-safe): one
+        # create_train_state supplies both the restore target and structure
         reg_cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, confidence_training=False))
-        reg_model = make_model(reg_cfg)
-        reg_template = jax.jit(lambda: reg_model.init(
-            {"params": key, "dropout": key, "sample": key}, first,
-            train=True))()["params"]
         from fabind_tpu.train.trainer import create_train_state
         _, reg_state = create_train_state(reg_cfg, key, first)
         restored = checkpoints.restore_state(args.init_ckpt, reg_state)

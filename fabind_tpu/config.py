@@ -272,3 +272,20 @@ def preset(name: str, **overrides) -> FABindConfig:
             train=dataclasses.replace(cfg.train, **train_kw),
         )
     return cfg
+
+
+def parse_overrides(pairs) -> dict:
+    """--set KEY=VALUE strings -> typed override dict (shared by the
+    train/train_confidence/serve drivers)."""
+    out = {}
+    for kv in pairs:
+        k, v = kv.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                v = {"true": True, "false": False}.get(v.lower(), v)
+        out[k] = v
+    return out

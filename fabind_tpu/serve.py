@@ -303,10 +303,12 @@ class DockingEngine:
         from fabind_tpu.cli.sample import sample_poses
 
         results: List[Optional[Pose]] = [None] * len(raws)
-        for chunk, cfg_b, batch, n_real in self._routed_batches(raws, results):
+        for bi, (chunk, cfg_b, batch, n_real) in enumerate(
+                self._routed_batches(raws, results)):
             coords, scores = sample_poses(
                 self._models[id(cfg_b)], self.params, batch, cfg_b,
-                sample_size, seed=seed)                # [S, B, Nc, 3], [S, B]
+                sample_size, seed=seed,
+                batch_idx=bi)                          # [S, B, Nc, 3], [S, B]
             best = np.argmax(scores, axis=0)           # [B]
             for b in range(n_real):
                 pos, s = chunk[b]

@@ -22,25 +22,50 @@ def save_state(ckpt_dir: str, state, step: Optional[int] = None) -> str:
     return path
 
 
-def latest_step(ckpt_dir: str) -> Optional[int]:
+def _scan_steps(ckpt_dir: str):
+    """(step, is_manager_layout) entries for both on-disk layouts:
+    legacy `step_N` dirs (save_state) and bare-int dirs written by
+    TrainCheckpointer's orbax CheckpointManager."""
+    out = []
     if not os.path.isdir(ckpt_dir):
-        return None
-    steps = []
+        return out
     for name in os.listdir(ckpt_dir):
         if name.startswith("step_"):
             try:
-                steps.append(int(name.split("_", 1)[1]))
+                out.append((int(name.split("_", 1)[1]), False))
             except ValueError:
                 pass
-    return max(steps) if steps else None
+        elif name.isdigit():
+            out.append((int(name), True))
+    return out
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    steps = _scan_steps(ckpt_dir)
+    return max(s for s, _ in steps) if steps else None
 
 
 def restore_state(ckpt_dir: str, target, step: Optional[int] = None):
-    """Restore into the structure of `target` (a TrainState template)."""
+    """Restore into the structure of `target` (a TrainState template).
+
+    Reads either layout: legacy `step_N` StandardCheckpointer dirs, or the
+    CheckpointManager layout TrainCheckpointer writes (bare-int step dirs
+    with `state`/`meta` items) — so e.g. `train_confidence --init-ckpt`
+    accepts a directory produced by `cli/train.py`."""
+    steps = dict(_scan_steps(ckpt_dir))
     if step is None:
-        step = latest_step(ckpt_dir)
-        if step is None:
+        if not steps:
             return None
+        step = max(steps)
+    if step not in steps:
+        return None
+    if steps[step]:   # manager layout
+        ck = TrainCheckpointer(ckpt_dir)
+        try:
+            state, _ = ck.restore(target, step=step)
+        finally:
+            ck.close()
+        return state
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target)
@@ -106,5 +131,22 @@ def save_params(path: str, params: Any) -> str:
 
 
 def restore_params(path: str, template: Any) -> Any:
+    """Restore a params tree from a StandardCheckpointer dir, or — when
+    given a training run's checkpoint directory (either layout) — the
+    params of its latest TrainState."""
+    steps = dict(_scan_steps(path))
+    if steps:
+        step = max(steps)
+        if steps[step]:   # manager layout: raw-restore the state item
+            mgr = ocp.CheckpointManager(os.path.abspath(path))
+            try:
+                out = mgr.restore(step, args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore()))
+            finally:
+                mgr.close()
+            return out["state"]["params"]
+        path = os.path.join(os.path.abspath(path), f"step_{step}")
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path)["params"]
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)

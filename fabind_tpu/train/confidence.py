@@ -47,6 +47,8 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
     """One step over a batch of complexes, each with num_copies stochastic
     forwards. batch arrays are the standard FABindBatch."""
     n_copies = cfg.train.num_copies
+    assert n_copies >= 2, \
+        "confidence ranking needs num_copies >= 2 (pairwise loss over copies)"
 
     def rmsd_per_copy(coords, gt, mask):
         sd = jnp.sum((coords - gt) ** 2, -1)
@@ -75,7 +77,13 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
                 loss_type=cfg.train.ranking_loss,
                 keep_cls_2a=cfg.train.keep_cls_2A)
         losses = jax.vmap(per_complex, in_axes=(1, 1))(scores, rmsds)
-        loss = jnp.mean(losses)
+        # trailing-batch padding duplicates get zero weight (sample_valid)
+        if batch.sample_valid is not None:
+            svf = batch.sample_valid.astype(jnp.float32)
+        else:
+            svf = jnp.ones(losses.shape[0], jnp.float32)
+        nsv = jnp.maximum(jnp.sum(svf), 1.0)
+        loss = jnp.sum(losses * svf) / nsv
         # ranking metrics, reference-exact (training_confidence.py:49-79):
         # pairwise accuracy = P(score_better > score_worse) over copy pairs
         # ordered by RMSD; hit = the min-RMSD copy has strictly max score.
@@ -95,10 +103,12 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
             rmsds, best_by_score[None], axis=0)[0]
         metrics = {
             "confidence_loss": loss,
-            "ranking_accuracy": jnp.mean(accs.astype(jnp.float32)),
-            "hit_rate": jnp.mean(hits.astype(jnp.float32)),
-            "chosen_rmsd_lt2": jnp.mean((chosen_rmsd < 2).astype(jnp.float32)),
-            "best_rmsd_lt2": jnp.mean((best_rmsd < 2).astype(jnp.float32)),
+            "ranking_accuracy": jnp.sum(accs.astype(jnp.float32) * svf) / nsv,
+            "hit_rate": jnp.sum(hits.astype(jnp.float32) * svf) / nsv,
+            "chosen_rmsd_lt2": jnp.sum(
+                (chosen_rmsd < 2).astype(jnp.float32) * svf) / nsv,
+            "best_rmsd_lt2": jnp.sum(
+                (best_rmsd < 2).astype(jnp.float32) * svf) / nsv,
         }
         return loss, metrics
 

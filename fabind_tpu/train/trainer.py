@@ -48,8 +48,7 @@ def create_train_state(cfg: FABindConfig, rng: Array, batch) -> Tuple[FABind, Tr
                              opt_state=opt_state, rng=state_rng)
 
 
-def make_train_step(model: FABind, cfg: FABindConfig,
-                    donate: bool = True):
+def make_train_step(model: FABind, cfg: FABindConfig):
     tx = build_optimizer(cfg.train)
     bf16 = cfg.train.bf16
 
@@ -98,11 +97,7 @@ def make_sharded_train_step(model: FABind, cfg: FABindConfig, mesh: Mesh):
     """jit the train step over a dp mesh: params/opt replicated, batch
     sharded on the leading axis."""
     step = make_train_step(model, cfg)
-    repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P("dp"))
-
-    def shard_like_batch(batch):
-        return jax.tree_util.tree_map(lambda _: bsh, batch)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def sharded_step(state, batch):

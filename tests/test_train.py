@@ -266,3 +266,34 @@ def test_train_cli_preemption_and_resume(tmp_path):
     assert rc2 == 0
     log = (out / "log.txt").read_text()
     assert "resumed at step" in log
+
+
+def test_restore_reads_both_checkpoint_layouts(train_setup, tmp_path):
+    """restore_state/restore_params must read both the legacy step_N layout
+    and TrainCheckpointer's CheckpointManager layout (a regression: the
+    confidence CLI could not load cli/train.py checkpoints)."""
+    from fabind_tpu.train import checkpoints
+
+    cfg, batch, model, state, step_fn = train_setup
+    host_state = jax.device_get(state)
+
+    mgr_dir = tmp_path / "mgr"
+    ck = checkpoints.TrainCheckpointer(str(mgr_dir), max_to_keep=2)
+    ck.save(host_state, meta={"epoch": 1, "batch_in_epoch": 2}, step=7)
+    ck.close()
+    restored = checkpoints.restore_state(str(mgr_dir), host_state)
+    assert restored is not None and checkpoints.latest_step(str(mgr_dir)) == 7
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               host_state.params, restored.params)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+    params = checkpoints.restore_params(str(mgr_dir), host_state.params)
+    leaves_a = jax.tree_util.tree_leaves(params)
+    leaves_b = jax.tree_util.tree_leaves(host_state.params)
+    assert len(leaves_a) == len(leaves_b)
+    assert all(float(jnp.abs(a - b).max()) == 0.0
+               for a, b in zip(leaves_a, leaves_b))
+
+    legacy_dir = tmp_path / "legacy"
+    checkpoints.save_state(str(legacy_dir), host_state, step=3)
+    restored2 = checkpoints.restore_state(str(legacy_dir), host_state)
+    assert restored2 is not None and int(restored2.step) == int(host_state.step)
