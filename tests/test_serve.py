@@ -160,3 +160,21 @@ def test_dock_screen_matches_dock_raw():
         assert a.error is None and b.error is None
         np.testing.assert_allclose(a.coords, b.coords, rtol=1e-5, atol=1e-5)
         assert abs(a.confidence - b.confidence) < 1e-5
+
+
+def test_dock_screen_under_dp():
+    """Screening's device-resident protein cache must compose with dp
+    serving (committed single-device arrays get resharded by the dp jit)."""
+    cfg = preset("fabind", **TINY)
+    eng = DockingEngine(cfg, batch_size=8, bf16=False, dp=8)
+    base = make_raw(n=6, nr=20, seed=70)
+    protein = {k: base[k] for k in ("protein_xyz", "esm_feat")}
+    ligs = []
+    for i in range(3):
+        r = make_raw(n=5 + i, nr=20, seed=71 + i)
+        ligs.append({k: r[k] for k in ("lig_coords", "lig_feats",
+                                       "bond_edges", "las_mask",
+                                       "rdkit_coords")})
+    poses = eng.dock_screen(protein, ligs)
+    assert all(p.error is None and np.isfinite(p.coords).all()
+               for p in poses)
