@@ -38,6 +38,9 @@ def main(argv=None):
                    help="file of pdb ids (one per line) to restrict the "
                         "split to, e.g. FABind/split_pdb_id/unseen_test_index")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override, e.g. --set max_ligand=32 (any "
+                        "ModelConfig/ShapeConfig/TrainConfig field)")
     p.add_argument("--stage", type=int, default=2)
     p.add_argument("--post-optim", action="store_true",
                    help="LAS-constraint pose refinement on the predictions")
@@ -66,7 +69,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from fabind_tpu.config import preset
-    from fabind_tpu.data.dataset import Loader, PDBBindLMDBSource
+    from fabind_tpu.data.dataset import (Loader, NPZSource,
+                                         PDBBindLMDBSource)
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.postopt import post_optimize_batch_jit
     from fabind_tpu.train.convert import convert_checkpoint
@@ -74,7 +78,9 @@ def main(argv=None):
     from fabind_tpu.utils.metrics import MetricAccumulator
     from fabind_tpu.data.types import dummy_batch
 
-    cfg = preset(args.preset, batch_size=args.batch_size)
+    from fabind_tpu.config import parse_overrides
+    cfg = preset(args.preset, batch_size=args.batch_size,
+                 **parse_overrides(args.set))
     model = make_model(cfg)
 
     # init a template, then load weights
@@ -95,9 +101,16 @@ def main(argv=None):
     else:
         params = checkpoints.restore_params(args.ckpt, variables["params"])
 
-    source = PDBBindLMDBSource(args.data, use_esm2_feat=cfg.model.use_esm2_feat)
-    splits = source.splits(args.preset)
-    indices = splits[args.split]
+    try:
+        source = PDBBindLMDBSource(args.data,
+                                   use_esm2_feat=cfg.model.use_esm2_feat)
+        splits = source.splits(args.preset)
+        indices = splits[args.split]
+    except Exception:
+        # portable NPZ directory (cli.preprocess output): evaluate the whole
+        # directory as the requested split
+        source = NPZSource(args.data)
+        indices = list(source.names)
     if args.unseen_index:
         with open(args.unseen_index) as f:
             wanted = {line.strip() for line in f if line.strip()}
