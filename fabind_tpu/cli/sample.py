@@ -150,6 +150,9 @@ def main(argv=None):
                         "confidence' lines as epoch{i}_confidence.txt "
                         "(the reference benchmark's aggregation inputs)")
     p.add_argument("--out", default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="config override (any ModelConfig/ShapeConfig/"
+                        "TrainConfig field)")
     args = p.parse_args(argv)
 
     import os
@@ -157,26 +160,36 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from fabind_tpu.config import preset
-    from fabind_tpu.data.dataset import Loader, PDBBindLMDBSource
+    from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.train.convert import convert_checkpoint
     from fabind_tpu.utils.metrics import (centroid_distance, ligand_rmsd,
                                           summarize_rmsd)
 
-    cfg = preset(args.preset)
+    from fabind_tpu.config import parse_overrides
+    cfg = preset(args.preset, **parse_overrides(args.set))
     model = make_model(cfg)
     k = jax.random.PRNGKey(0)
     tmpl = dummy_batch(cfg.shapes, batch_size=1)
     variables = jax.jit(lambda: model.init(
         {"params": k, "dropout": k, "sample": k}, tmpl, train=False,
         stage=2))()
-    params, report = convert_checkpoint(args.ckpt, variables["params"])
+    if args.ckpt.endswith(".bin") or args.ckpt.endswith(".pt"):
+        params, report = convert_checkpoint(args.ckpt, variables["params"])
+    else:
+        from fabind_tpu.train import checkpoints
+        params = checkpoints.restore_params(args.ckpt, variables["params"])
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    source = PDBBindLMDBSource(args.data)
-    splits = source.splits("fabind_plus")
-    loader = Loader(source, splits[args.split], cfg, group=args.split,
+    try:
+        source = PDBBindLMDBSource(args.data)
+        splits = source.splits("fabind_plus")
+        indices = splits[args.split]
+    except Exception:
+        source = NPZSource(args.data)
+        indices = list(source.names)
+    loader = Loader(source, indices, cfg, group=args.split,
                     batch_size=args.batch_size, workers=8, prefetch_depth=2)
 
     # [S, n] per-complex arrays across sample epochs

@@ -130,10 +130,28 @@ def save_params(path: str, params: Any) -> str:
     return path
 
 
+def _overlay(template: Any, restored: Any) -> Any:
+    """Recursively overlay restored params onto a template: entries missing
+    from the checkpoint keep their template (fresh-init) values — the
+    strict=False torch load_state_dict semantics the reference relies on for
+    the confidence-head superset (test_sampling_fabind.py:114)."""
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            if isinstance(restored, dict) and k in restored:
+                out[k] = _overlay(v, restored[k])
+            else:
+                out[k] = v
+        return out
+    return restored if restored is not None else template
+
+
 def restore_params(path: str, template: Any) -> Any:
     """Restore a params tree from a StandardCheckpointer dir, or — when
     given a training run's checkpoint directory (either layout) — the
-    params of its latest TrainState."""
+    params of its latest TrainState, overlaid onto `template` (entries the
+    checkpoint lacks, e.g. a fresh confidence head over a regression
+    checkpoint, keep their template init)."""
     steps = dict(_scan_steps(path))
     if steps:
         step = max(steps)
@@ -144,9 +162,12 @@ def restore_params(path: str, template: Any) -> Any:
                     state=ocp.args.StandardRestore()))
             finally:
                 mgr.close()
-            return out["state"]["params"]
-        path = os.path.join(os.path.abspath(path), f"step_{step}")
-        ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path)["params"]
+            restored = out["state"]["params"]
+        else:
+            p = os.path.join(os.path.abspath(path), f"step_{step}")
+            restored = ocp.StandardCheckpointer().restore(p)["params"]
+        import jax
+        return _overlay(jax.tree_util.tree_map(lambda x: x, template),
+                        restored)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)
