@@ -69,8 +69,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from fabind_tpu.config import preset
-    from fabind_tpu.data.dataset import (Loader, NPZSource,
-                                         PDBBindLMDBSource)
+    from fabind_tpu.data.dataset import Loader, NPZSource
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.postopt import post_optimize_batch_jit
     from fabind_tpu.train.convert import convert_checkpoint
@@ -101,24 +100,25 @@ def main(argv=None):
     else:
         params = checkpoints.restore_params(args.ckpt, variables["params"])
 
-    try:
-        source = PDBBindLMDBSource(args.data,
-                                   use_esm2_feat=cfg.model.use_esm2_feat)
-        splits = source.splits(args.preset)
-        indices = splits[args.split]
-    except Exception:
-        # portable NPZ directory (cli.preprocess output): evaluate the whole
-        # directory as the requested split
-        source = NPZSource(args.data)
-        indices = list(source.names)
+    from fabind_tpu.data.dataset import open_source
+    source, indices = open_source(args.data, variant=args.preset,
+                                  split=args.split,
+                                  use_esm2_feat=cfg.model.use_esm2_feat)
     if args.unseen_index:
         with open(args.unseen_index) as f:
             wanted = {line.strip() for line in f if line.strip()}
-        pdb_col = source.index["pdb"] if "pdb" in source.index else \
-            source.index["compound_name"]
-        indices = [i for i in indices if str(pdb_col.iloc[i]) in wanted]
-        # the reference double-checks the selection (test_fabind.py:228-230)
-        assert all(str(pdb_col.iloc[i]) in wanted for i in indices)
+        if isinstance(source, NPZSource):
+            # NPZ sample names ARE the pdb ids (cli.preprocess names them so)
+            indices = [n for n in indices if n in wanted]
+        else:
+            pdb_col = source.index["pdb"] if "pdb" in source.index else \
+                source.index["compound_name"]
+            indices = [i for i in indices if str(pdb_col.iloc[i]) in wanted]
+            # reference double-checks the selection (test_fabind.py:228-230)
+            assert all(str(pdb_col.iloc[i]) in wanted for i in indices)
+        if not indices:
+            raise SystemExit(f"--unseen-index {args.unseen_index}: no ids "
+                             f"from the file are present in {args.data}")
         print(f"unseen subset: {len(indices)} of {len(wanted)} ids present")
     buckets = None
     if args.buckets and args.buckets.startswith("auto"):
@@ -167,7 +167,8 @@ def main(argv=None):
                 batch.lig_mask, steps=args.post_optim_steps)
             out = out.replace(coords=coords)
         out = jax.device_get(out)
-        acc.update(out, batch, pdbs=meta["pdb"])
+        acc.update(out, batch, pdbs=meta["pdb"],
+                   isomorphisms=meta.get("iso"))
         if args.write_coords_dir:
             lm = np.asarray(out.lig_mask)
             for i, pdb in enumerate(meta["pdb"]):

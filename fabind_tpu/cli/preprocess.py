@@ -50,11 +50,16 @@ def _mol_record(smiles: str, seed: int, num_conformers: int = 1):
 
 
 def _maybe_isomorphisms(rec, max_iso: int):
-    from fabind_tpu.data.isomorphism import automorphisms_from_graph
+    """Reference-exact automorphism labels (FABind_plus
+    isomorphism.py:49-62): atomic_number*100 + incident-bond-order-sum, so
+    element-equal atoms with different bonding cannot permute."""
+    from fabind_tpu.data.isomorphism import (automorphisms_from_graph,
+                                             iso_labels_from_arrays)
     feats = rec["feats"]
-    # node label = argmax of the atom-symbol block (first 18 dims), the
-    # TPU-side analogue of the reference's atomicnum-based labels
-    labels = feats[:, :18].argmax(axis=1)
+    labels = rec.get("iso_labels")
+    if labels is None:
+        labels = iso_labels_from_arrays(feats, rec["bond_edges"],
+                                        rec.get("bond_orders"))
     return automorphisms_from_graph(
         feats.shape[0], rec["bond_edges"], labels, max_iso=max_iso)
 
@@ -138,9 +143,12 @@ def run_pdbbind_mode(args):
         try:
             raw = src.get(i)
             name = str(raw.get("pdb", i))
-            if args.isomorphisms:
-                labels = raw["lig_feats"][:, :18].argmax(axis=1)
-                from fabind_tpu.data.isomorphism import automorphisms_from_graph
+            if args.isomorphisms and raw.get("isomorphisms") is None:
+                from fabind_tpu.data.isomorphism import (
+                    automorphisms_from_graph, iso_labels_from_arrays)
+                labels = iso_labels_from_arrays(
+                    raw["lig_feats"], raw["bond_edges"],
+                    raw.get("bond_orders"))
                 raw["isomorphisms"] = automorphisms_from_graph(
                     raw["lig_feats"].shape[0], raw["bond_edges"], labels,
                     max_iso=args.max_iso)

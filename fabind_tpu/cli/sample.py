@@ -65,18 +65,26 @@ def _dock_half_impl(model, params, batch, center, key):
                        method=run, rngs={"dropout": key, "sample": key})
 
 
-_JITTED = {}
+from collections import OrderedDict
+
+_JITTED: "OrderedDict" = OrderedDict()
+_JITTED_MAX = 8  # LRU bound: one entry per live shape bucket is the norm
 
 
 def _halves(model):
-    """Jitted (pocket_half, dock_half) cached per model instance — flax
+    """Jitted (pocket_half, dock_half) LRU-cached per model instance — flax
     modules are frozen dataclasses, so the same model reuses its compiled
-    executables across sample_poses calls (one per serving bucket)."""
+    executables across sample_poses calls (one per serving bucket). Bounded
+    so long-lived callers cycling models can't grow it without limit."""
     import jax
-    if model not in _JITTED:
+    if model in _JITTED:
+        _JITTED.move_to_end(model)
+    else:
         _JITTED[model] = (
             jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
             jax.jit(lambda p, b, c, k, m=model: _dock_half_impl(m, p, b, c, k)))
+        while len(_JITTED) > _JITTED_MAX:
+            _JITTED.popitem(last=False)
     return _JITTED[model]
 
 
@@ -160,7 +168,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from fabind_tpu.config import preset
-    from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource
+    from fabind_tpu.data.dataset import Loader
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.train.convert import convert_checkpoint
@@ -182,13 +190,9 @@ def main(argv=None):
         params = checkpoints.restore_params(args.ckpt, variables["params"])
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
-    try:
-        source = PDBBindLMDBSource(args.data)
-        splits = source.splits("fabind_plus")
-        indices = splits[args.split]
-    except Exception:
-        source = NPZSource(args.data)
-        indices = list(source.names)
+    from fabind_tpu.data.dataset import open_source
+    source, indices = open_source(args.data, variant="fabind_plus",
+                                  split=args.split)
     loader = Loader(source, indices, cfg, group=args.split,
                     batch_size=args.batch_size, workers=8, prefetch_depth=2)
 

@@ -30,7 +30,12 @@ def main(argv=None):
     p.add_argument("--buckets", default=None,
                    help="explicit shape buckets 'lig:pocket:protein,...' "
                         "(smallest first; the largest must cover the "
-                        "preset's shapes)")
+                        "preset's shapes), or 'auto'/'auto:K' to infer up "
+                        "to K (default 3) buckets from --data's size "
+                        "distribution")
+    p.add_argument("--data", default=None,
+                   help="dataset dir used by '--buckets auto' to measure "
+                        "the complex-size distribution")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
@@ -43,7 +48,20 @@ def main(argv=None):
     cfg = preset(args.preset, **overrides)
 
     buckets = None
-    if args.buckets:
+    if args.buckets and args.buckets.startswith("auto"):
+        if not args.data:
+            raise SystemExit("--buckets auto requires --data to measure "
+                             "the complex-size distribution")
+        from fabind_tpu.data.buckets import measure_sizes, suggest_buckets
+        from fabind_tpu.data.dataset import open_source
+        k = int(args.buckets.split(":")[1]) if ":" in args.buckets else 3
+        source, indices = open_source(args.data, variant=args.preset,
+                                      split="test")
+        sizes = measure_sizes(source, indices, cfg, group="test", limit=512)
+        buckets = suggest_buckets(sizes, cfg, k=k)
+        print("auto buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)
+                                for s in buckets])
+    elif args.buckets:
         import dataclasses
         buckets = []
         for spec in args.buckets.split(","):

@@ -58,8 +58,14 @@ class PDBBindLMDBSource:
         import lmdb
         import torch
         p = os.path.join(root, "dataset", "processed")
-        self.index = torch.load(os.path.join(p, "data.pt"),
-                                weights_only=False)
+        # FABind+ distributions ship data_new.pt (adds the isomorphics
+        # column, FABind_plus/fabind/data.py:62); prefer it when present
+        idx_path = os.path.join(p, "data_new.pt")
+        if not os.path.exists(idx_path):
+            idx_path = os.path.join(p, "data.pt")
+        self.index = torch.load(idx_path, weights_only=False)
+        # iloc==loc below requires a clean positional index
+        self.index = self.index.reset_index(drop=True)
         self.rdkit_coords = torch.load(
             os.path.join(p, "compound_rdkit_coords.pt"), weights_only=False)
         # max_readers sized for the Loader's worker threads (each read-only
@@ -137,20 +143,62 @@ class PDBBindLMDBSource:
         las = np.zeros((n, n), bool)
         las_e = npy(las_edge_index)
         las[las_e[0], las_e[1]] = True
-        return {
+        el = npy(edge_list)
+        out = {
             "protein_xyz": npy(protein_xyz).astype(np.float32),
             "esm_feat": npy(esm_feat).astype(np.float32),
             "lig_coords": npy(coords).astype(np.float32),
             "lig_feats": npy(feats).astype(np.float32),
-            "bond_edges": npy(edge_list)[:, :2].astype(np.int64),
+            "bond_edges": el[:, :2].astype(np.int64),
             "las_mask": las,
             "rdkit_coords": npy(rdkit_coords).astype(np.float32),
             "pdb": line.get("pdb", cname),
             "group": line.get("group", "train"),
         }
+        if el.ndim == 2 and el.shape[1] >= 3:
+            # torchdrug relation ids (feature_utils.py:170 edge_list[:,2]:
+            # SINGLE=0, DOUBLE=1, TRIPLE=2, AROMATIC=3) -> bond orders
+            order_map = {0: 1.0, 1: 2.0, 2: 3.0, 3: 1.5}
+            out["bond_orders"] = np.asarray(
+                [order_map.get(int(t), 0.0) for t in el[:, 2]], np.float32)
+        if "isomorphics" in line.index:
+            # FABind+ data_new.pt column injected offline by
+            # tools/inject_isomorphism_to_data.py:30-47
+            isos = line["isomorphics"]
+            if isos is not None and len(isos):
+                out["isomorphisms"] = np.stack(
+                    [np.asarray(p, np.int32) for p in isos])
+        return out
 
 
 _SENTINEL = object()
+
+
+def open_source(root: str, variant: str = "fabind",
+                split: Optional[str] = None, use_esm2_feat: bool = True):
+    """Open `root` as the reference's processed-LMDB layout if present, else
+    as a portable NPZ directory. Returns (source, indices) where indices is
+    None when split is None.
+
+    Explicit probing replaces the broad try/except fallback the CLIs used to
+    carry: a genuinely corrupt LMDB store now raises instead of silently
+    degrading to an empty NPZ eval (advisor finding, round 1)."""
+    p = os.path.join(root, "dataset", "processed")
+    if (os.path.exists(os.path.join(p, "data.pt"))
+            or os.path.exists(os.path.join(p, "data_new.pt"))):
+        src = PDBBindLMDBSource(root, use_esm2_feat=use_esm2_feat)
+        if split is None:
+            return src, None
+        return src, src.splits(variant)[split]
+    names = [f for f in os.listdir(root) if f.endswith(".npz")]
+    if not names:
+        raise FileNotFoundError(
+            f"{root}: neither a reference processed dataset "
+            f"({p}/data.pt missing) nor a directory of .npz samples")
+    print(f"[data] {root}: no reference LMDB layout; using NPZ directory "
+          f"({len(names)} samples; split filters do not apply)")
+    src = NPZSource(root)
+    return src, list(src.names)
 
 
 def prefetch(it: Iterator, depth: int = 2) -> Iterator:
@@ -159,28 +207,44 @@ def prefetch(it: Iterator, depth: int = 2) -> Iterator:
     The TPU-native analogue of the reference's DataLoader pipelining
     (main_fabind.py:220 num_workers=10): host-side featurization/collation
     overlaps with device compute instead of serializing with it. Exceptions
-    from the producer re-raise in the consumer."""
+    from the producer re-raise in the consumer. If the consumer abandons the
+    generator early (e.g. a preemption return mid-epoch) the stop event
+    unblocks the producer so its thread exits instead of leaking on q.put."""
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     err: List[BaseException] = []
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in it:
-                q.put(item)
+                if not put(item):
+                    return
         except BaseException as e:
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            put(_SENTINEL)
 
     t = threading.Thread(target=run, daemon=True, name="fabind-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def _bounded_map(ex: ThreadPoolExecutor, fn, items, window: int) -> Iterator:
@@ -316,8 +380,13 @@ class Loader:
         def emit(buf, pdbs, cfg_b, n_real):
             batch = collate(buf, cfg_b, n_valid=n_real)
             if with_meta:
+                # full (untruncated) automorphism lists for eval-time
+                # symmetric RMSD; the device batch carries only the
+                # max_iso-capped copy the permutation loss needs
                 return batch, {"pdb": pdbs[:n_real], "n_valid": n_real,
-                               "cfg": cfg_b}
+                               "cfg": cfg_b,
+                               "iso": [x.get("isomorphisms")
+                                       for x in buf[:n_real]]}
             return batch
 
         def feed(cfg_b, raw, s, idx):
@@ -358,6 +427,25 @@ class Loader:
                     yield emit(buf, pdbs, cfg_b, self.batch_size)
                 n_emitted += 1
                 bufs[id(cfg_b)] = ([], [], cfg_b)
+        if deficit:
+            # epoch ended while oversize samples were still owed a
+            # substitute (no valid sample had been seen yet when they
+            # arrived): flush them now so this host emits the same batch
+            # count as its peers — otherwise the collective dp step hangs
+            if last_valid is None:
+                raise RuntimeError(
+                    f"host_shard epoch has no valid sample to substitute "
+                    f"for {deficit} oversize samples; every sample on this "
+                    f"host exceeds the bucket — raise the shape bucket or "
+                    f"fix the split")
+            cfg_b, raw, s, idx = last_valid
+            for _ in range(deficit):
+                if feed(cfg_b, raw, s, idx):
+                    if n_emitted >= skip_batches:
+                        yield emit(*bufs[id(cfg_b)][:2], cfg_b,
+                                   self.batch_size)
+                    n_emitted += 1
+                    bufs[id(cfg_b)] = ([], [], cfg_b)
         for buf, pdbs, cfg_b in bufs.values():
             if not buf:
                 continue

@@ -137,9 +137,24 @@ def featurize_mol(mol) -> Dict[str, np.ndarray]:
     bonds = []
     for b in smol.GetBonds():
         i, j = b.GetBeginAtomIdx(), b.GetEndAtomIdx()
-        bonds.append((i, j))
-        bonds.append((j, i))
-    bond_edges = np.asarray(sorted(bonds), np.int64).reshape(-1, 2)
+        o = b.GetBondTypeAsDouble()          # 1.0/2.0/3.0/1.5(aromatic)
+        bonds.append((i, j, o))
+        bonds.append((j, i, o))
+    bonds.sort()
+    bond_edges = np.asarray([(i, j) for i, j, _ in bonds],
+                            np.int64).reshape(-1, 2)
+    bond_orders = np.asarray([o for _, _, o in bonds], np.float32)
+
+    # reference-exact automorphism node labels (FABind_plus
+    # isomorphism.py:49-62 atomGetnum): atomic_num*100 + incident
+    # bond-type-index sum
+    from fabind_tpu.data.isomorphism import ref_bond_index_from_order
+    iso_labels = np.asarray(
+        [a.GetAtomicNum() * 100 for a in smol.GetAtoms()], np.int64)
+    for b in smol.GetBonds():
+        idx = ref_bond_index_from_order(b.GetBondTypeAsDouble())
+        iso_labels[b.GetBeginAtomIdx()] += idx
+        iso_labels[b.GetEndAtomIdx()] += idx
 
     # LAS mask on the *original* conformer mol (feature_utils.py:113)
     adj = np.asarray(Chem.GetAdjacencyMatrix(mol))
@@ -151,6 +166,7 @@ def featurize_mol(mol) -> Dict[str, np.ndarray]:
         "atom order mismatch between conformer mol and canonical smiles; "
         "renumber the mol first (see read_smiles/renumber convention)")
     return {"coords": coords, "feats": feats, "bond_edges": bond_edges,
+            "bond_orders": bond_orders, "iso_labels": iso_labels,
             "las_mask": las.astype(bool), "smiles": smiles}
 
 

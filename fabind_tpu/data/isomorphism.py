@@ -17,17 +17,24 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
-def automorphisms_from_graph(n_atoms: int, edges: Sequence, node_labels,
-                             edge_labels=None, max_iso: int = 8
-                             ) -> np.ndarray:
-    """Enumerate up to max_iso graph automorphisms.
+# safety ceiling for "unbounded" enumeration: highly symmetric ligands can
+# have factorially many automorphisms; the reference's spyrmsd bounds the
+# analogous blow-up with a 10s SIGALRM (get_sym_rmsd.py:12-24)
+HARD_ISO_LIMIT = 4096
+
+
+def enumerate_automorphisms(n_atoms: int, edges: Sequence, node_labels,
+                            edge_labels=None,
+                            limit: int = HARD_ISO_LIMIT
+                            ) -> "tuple[np.ndarray, bool]":
+    """Enumerate graph automorphisms up to `limit`.
 
     Args:
       edges: iterable of (i, j) undirected bonds (one direction suffices).
       node_labels: per-atom hashable labels.
       edge_labels: optional per-edge hashable labels (same order as edges).
     Returns:
-      [n_iso, n_atoms] int32, identity first.
+      ([n_iso, n_atoms] int32 with identity first, truncated flag).
     """
     import networkx as nx
     from networkx.algorithms.isomorphism import GraphMatcher, categorical_node_match
@@ -49,6 +56,7 @@ def automorphisms_from_graph(n_atoms: int, edges: Sequence, node_labels,
     isos: List[np.ndarray] = []
     seen = set()
     identity = tuple(range(n_atoms))
+    truncated = False
     for mapping in matcher.isomorphisms_iter():
         perm = tuple(mapping[i] for i in range(n_atoms))
         if perm in seen:
@@ -56,11 +64,83 @@ def automorphisms_from_graph(n_atoms: int, edges: Sequence, node_labels,
         seen.add(perm)
         if perm == identity:
             continue
-        isos.append(np.asarray(perm, np.int32))
-        if len(isos) >= max_iso - 1:
+        if len(isos) >= limit - 1:
+            truncated = True
             break
+        isos.append(np.asarray(perm, np.int32))
     out = [np.arange(n_atoms, dtype=np.int32)] + isos
-    return np.stack(out)
+    return np.stack(out), truncated
+
+
+def automorphisms_from_graph(n_atoms: int, edges: Sequence, node_labels,
+                             edge_labels=None,
+                             max_iso: Optional[int] = 8) -> np.ndarray:
+    """Automorphism permutations [n_iso, n_atoms] int32, identity first.
+
+    max_iso=None enumerates the full group (bounded by HARD_ISO_LIMIT — the
+    eval-time symmetric-RMSD path); an int cap serves the train-time
+    permutation loss, whose device arrays need a small static n_iso.
+    Truncation is logged, never silent."""
+    limit = HARD_ISO_LIMIT if max_iso is None else max_iso
+    out, truncated = enumerate_automorphisms(
+        n_atoms, edges, node_labels, edge_labels, limit=limit)
+    if truncated:
+        import warnings
+        warnings.warn(
+            f"automorphism enumeration truncated at {limit} for a "
+            f"{n_atoms}-atom ligand; symmetric RMSD may be pessimistic",
+            stacklevel=2)
+    return out
+
+
+# torchdrug atom-symbol vocabulary position -> atomic number
+# (featurize.ATOM_VOCAB order; trailing unknown slot -> 0)
+_VOCAB_ATOMIC_NUM = np.asarray(
+    [1, 5, 6, 7, 8, 9, 12, 14, 15, 16, 17, 29, 30, 34, 35, 50, 53, 0],
+    np.int64)
+
+
+def ref_bond_index_from_order(order: float) -> int:
+    """Bond order -> the reference's safe_index_bond value
+    (FABind_plus isomorphism.py:35-46 over [AROMATIC,TRIPLE,DOUBLE,SINGLE,
+    misc] + 1): aromatic(1.5)=1, triple(3)=2, double(2)=3, single(1)=4,
+    anything else=5."""
+    if order == 1.5:
+        return 1
+    if order == 3.0:
+        return 2
+    if order == 2.0:
+        return 3
+    if order == 1.0:
+        return 4
+    return 5
+
+
+def iso_labels_from_arrays(feats: np.ndarray, bond_edges: np.ndarray,
+                           bond_orders=None) -> np.ndarray:
+    """Reference-exact node labels (atomGetnum, FABind_plus
+    isomorphism.py:49-62) derived from stored arrays instead of an RDKit mol:
+    atomic_number * 100 + sum of bond-type indices over incident bonds.
+
+    feats: [n, 56] torchdrug features (symbol one-hot in the first 18 dims).
+    bond_edges: [E, 2] DIRECTED (both directions present) — each incident
+    bond then contributes once per endpoint, as in the reference's
+    undirected GetBonds() loop.
+    bond_orders: [E] float orders aligned with bond_edges; None falls back
+    to SINGLE for every bond (degree-equivalent labeling — weaker than the
+    reference when a molecule mixes bond orders between same-element atoms).
+    """
+    feats = np.asarray(feats)
+    nums = _VOCAB_ATOMIC_NUM[feats[:, :18].argmax(axis=1)]
+    labels = nums * 100
+    e = np.asarray(bond_edges).reshape(-1, 2)
+    if bond_orders is None:
+        orders = np.ones(len(e))
+    else:
+        orders = np.asarray(bond_orders, float).reshape(-1)
+    for (i, _), o in zip(e, orders):
+        labels[int(i)] += ref_bond_index_from_order(float(o))
+    return labels
 
 
 _BOND_TYPES = ["AROMATIC", "TRIPLE", "DOUBLE", "SINGLE", "misc"]

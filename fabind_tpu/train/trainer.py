@@ -86,7 +86,9 @@ def make_train_step(model: FABind, cfg: FABindConfig):
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["skipped_nan"] = (~ok).astype(jnp.float32)
-        metrics["grad_norm"] = grad_norm
+        # report 0 on skipped-NaN steps: the raw norm is NaN/Inf exactly
+        # then, and one such step would poison any averaged logging window
+        metrics["grad_norm"] = jnp.where(ok, grad_norm, 0.0)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, rng=state.rng), metrics
 

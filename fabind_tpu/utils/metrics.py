@@ -111,7 +111,12 @@ class MetricAccumulator:
         self.centers_true = []
         self.per_pdb = []   # (pdb, rmsd) rows when update() receives pdbs
 
-    def update(self, out, batch, pdbs=None):
+    def update(self, out, batch, pdbs=None, isomorphisms=None):
+        """isomorphisms: optional per-real-sample list of FULL
+        [n_iso, n_atoms] automorphism arrays (Loader meta["iso"]) — preferred
+        over batch.isomorphisms, whose device copy is capped at the
+        permutation loss's max_iso and would make symmetric RMSD
+        pessimistic on highly symmetric ligands."""
         valid = (np.asarray(batch.sample_valid)
                  if batch.sample_valid is not None
                  else np.ones(np.asarray(out.coords).shape[0], bool))
@@ -119,7 +124,12 @@ class MetricAccumulator:
         true = np.asarray(batch.lig_coords)[valid]
         mask = np.asarray(out.lig_mask)[valid]
         rmsd = ligand_rmsd(pred, true, mask)
-        if self.symmetric and batch.isomorphisms is not None:
+        if self.symmetric and isomorphisms is not None:
+            for i in range(pred.shape[0]):
+                nl = int(mask[i].sum())
+                iso = isomorphisms[i] if i < len(isomorphisms) else None
+                rmsd[i] = symmetric_rmsd(pred[i, :nl], true[i, :nl], iso)
+        elif self.symmetric and batch.isomorphisms is not None:
             isos = np.asarray(batch.isomorphisms)[valid]
             iso_m = np.asarray(batch.iso_mask)[valid]
             for i in range(pred.shape[0]):
