@@ -45,6 +45,14 @@ def main(argv=None):
     p.add_argument("--post-optim", action="store_true",
                    help="LAS-constraint pose refinement on the predictions")
     p.add_argument("--post-optim-steps", type=int, default=1000)
+    p.add_argument("--distmap-dock", action="store_true",
+                   help="legacy TankBind-style docking: DISCARD the coord "
+                        "head's pose and re-derive coords by optimizing "
+                        "against the predicted distance map + LAS "
+                        "constraints (generation_utils.py:42-120)")
+    p.add_argument("--distmap-repeats", type=int, default=1,
+                   help="random restarts per complex; best final loss wins")
+    p.add_argument("--distmap-steps", type=int, default=5000)
     p.add_argument("--symmetric-rmsd", action="store_true",
                    help="symmetry-corrected RMSD over ligand automorphisms "
                         "(FABind+ eval protocol)")
@@ -161,6 +169,15 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile_dir)
     for batch, meta in loader.epoch(0, with_meta=True):
         out = eval_step(params, batch, meta["cfg"])
+        if args.distmap_dock:
+            from fabind_tpu.postopt import distance_dock_best_of_jit
+            coords, _, _ = distance_dock_best_of_jit(
+                out.y_pred, out.pocket_coords, batch.lig_rdkit_coords,
+                batch.las_adj, batch.lig_mask, out.pkt_mask,
+                jax.random.PRNGKey(n), n_repeat=args.distmap_repeats,
+                steps=args.distmap_steps,
+                dis_thres=float(cfg.model.dis_map_thres))
+            out = out.replace(coords=coords)
         if args.post_optim:
             coords, _ = post_optimize_batch_jit(
                 out.coords, batch.lig_rdkit_coords, batch.las_adj,

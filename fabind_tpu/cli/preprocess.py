@@ -174,13 +174,12 @@ def run_esm_lmdb_mode(args):
     offline embedding pass (tools/generate_esm2_t33.py:25-53)."""
     import pickle
 
-    import lmdb
-
     from fabind_tpu.data.featurize import extract_esm_feature
+    from fabind_tpu.data.kv import open_kv
     p = os.path.join(args.lmdb, "dataset", "processed")
-    src = lmdb.open(os.path.join(p, "protein_1d_3d.lmdb"), readonly=True)
-    dst = lmdb.open(os.path.join(p, "esm2_t33_650M_UR50D.lmdb"),
-                    map_size=1024 ** 4)
+    src = open_kv(os.path.join(p, "protein_1d_3d.lmdb"), readonly=True)
+    dst = open_kv(os.path.join(p, "esm2_t33_650M_UR50D.lmdb"),
+                  readonly=False, map_size=1024 ** 4)
     n = 0
     with src.begin(write=False) as txn, dst.begin(write=True) as out:
         for key, value in txn.cursor():
@@ -192,6 +191,7 @@ def run_esm_lmdb_mode(args):
             if n % 100 == 0:
                 _log(f"{n} proteins embedded")
     src.close()
+    dst.close()
     _log(f"wrote {n} embeddings -> {p}/esm2_t33_650M_UR50D.lmdb")
 
 

@@ -67,7 +67,7 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     from fabind_tpu.config import preset
-    from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource
+    from fabind_tpu.data.dataset import Loader, NPZSource
     from fabind_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from fabind_tpu.train import checkpoints
     from fabind_tpu.train.trainer import (create_train_state,
@@ -92,15 +92,15 @@ def main(argv=None):
     logger = Logger(args.output)
     logger.log_message(f"devices: {jax.devices()}")
 
-    try:
-        source = PDBBindLMDBSource(args.data,
-                                   use_esm2_feat=cfg.model.use_esm2_feat)
-        splits = source.splits(args.preset)
-    except Exception:
-        source = NPZSource(args.data)
+    from fabind_tpu.data.dataset import open_source
+    source, _ = open_source(args.data, variant=args.preset,
+                            use_esm2_feat=cfg.model.use_esm2_feat)
+    if isinstance(source, NPZSource):
         n = len(source.names)
         splits = {"train": source.names[: int(0.9 * n)],
                   "valid": source.names[int(0.9 * n):], "test": []}
+    else:
+        splits = source.splits(args.preset)
     logger.log_message(
         f"splits: {({k: len(v) for k, v in splits.items()})}")
 

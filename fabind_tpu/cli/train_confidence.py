@@ -61,7 +61,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from fabind_tpu.config import preset
-    from fabind_tpu.data.dataset import Loader, NPZSource, PDBBindLMDBSource
+    from fabind_tpu.data.dataset import Loader, NPZSource
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.train import checkpoints
     from fabind_tpu.train.confidence import (build_confidence_optimizer,
@@ -89,16 +89,16 @@ def main(argv=None):
     logger = Logger(args.output)
     logger.log_message(f"devices: {jax.devices()}")
 
-    try:
-        source = PDBBindLMDBSource(args.data,
-                                   use_esm2_feat=cfg.model.use_esm2_feat)
+    from fabind_tpu.data.dataset import open_source
+    source, _ = open_source(args.data, variant="fabind_plus",
+                            use_esm2_feat=cfg.model.use_esm2_feat)
+    if isinstance(source, NPZSource):
+        train_idx = list(source.names)
+    else:
         splits = source.splits("fabind_plus")
         # the reference trains confidence on train+valid groups
         # (train_confidence.py:132-133)
         train_idx = splits["train"] + splits.get("valid", [])
-    except Exception:
-        source = NPZSource(args.data)
-        train_idx = list(source.names)
     logger.log_message(f"confidence train set: {len(train_idx)} complexes")
 
     loader = Loader(source, train_idx, cfg, group="train",

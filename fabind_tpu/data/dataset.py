@@ -55,8 +55,9 @@ class PDBBindLMDBSource:
     (`{root}/dataset/processed`)."""
 
     def __init__(self, root: str, use_esm2_feat: bool = True):
-        import lmdb
         import torch
+
+        from fabind_tpu.data.kv import open_kv
         p = os.path.join(root, "dataset", "processed")
         # FABind+ distributions ship data_new.pt (adds the isomorphics
         # column, FABind_plus/fabind/data.py:62); prefer it when present
@@ -70,15 +71,15 @@ class PDBBindLMDBSource:
             os.path.join(p, "compound_rdkit_coords.pt"), weights_only=False)
         # max_readers sized for the Loader's worker threads (each read-only
         # txn takes a reader slot)
-        self.protein_db = lmdb.open(
+        self.protein_db = open_kv(
             os.path.join(p, "protein_1d_3d.lmdb"), readonly=True,
             max_readers=128, lock=False, readahead=False, meminit=False)
-        self.compound_db = lmdb.open(
+        self.compound_db = open_kv(
             os.path.join(p, "compound_LAS_edge_index.lmdb"), readonly=True,
             max_readers=128, lock=False, readahead=False, meminit=False)
         self.esm_db = None
         if use_esm2_feat:
-            self.esm_db = lmdb.open(
+            self.esm_db = open_kv(
                 os.path.join(p, "esm2_t33_650M_UR50D.lmdb"), readonly=True,
                 max_readers=128, lock=False, readahead=False, meminit=False)
 

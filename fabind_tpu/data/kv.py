@@ -1,0 +1,42 @@
+"""KV-store entry point: the real `lmdb` binding when importable, else the
+pure-Python LMDB codec (fabind_tpu.data.mdb).
+
+Both expose the `lmdb.open(...)` subset the framework uses: begin() txns
+with get/put/cursor. The reference hard-requires the C binding
+(FABind/fabind/data.py:6); here it is optional so the real-data path works
+on hosts without liblmdb.
+"""
+from __future__ import annotations
+
+
+def have_lmdb() -> bool:
+    try:
+        import lmdb  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def open_kv(path: str, readonly: bool = True, **kw):
+    """Open an LMDB environment (directory containing data.mdb)."""
+    try:
+        import lmdb
+        return lmdb.open(path, readonly=readonly, **kw)
+    except ImportError:
+        from fabind_tpu.data import mdb
+        return mdb.open(path, readonly=readonly, **kw)
+
+
+def write_kv(path: str, items) -> None:
+    """Write a fresh environment holding `items` (dict[bytes, bytes])."""
+    try:
+        import lmdb
+        env = lmdb.open(path, map_size=1 << 34)
+        with env.begin(write=True) as txn:
+            for k, v in items.items():
+                txn.put(k, v)
+        env.sync()
+        env.close()
+    except ImportError:
+        from fabind_tpu.data import mdb
+        mdb.write_env(path, dict(items))

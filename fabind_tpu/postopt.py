@@ -73,22 +73,32 @@ def post_optimize_batch(pred_coords: Array, ref_coords: Array,
 
 
 post_optimize_batch_jit = jax.jit(post_optimize_batch,
-                                  static_argnames=("steps",))
+                                  static_argnames=("steps", "lr"))
 
 
 def distance_map_loss(epoch: Array, x: Array, y_pred: Array,
                       protein_xyz: Array, ref_dis: Array, las_mask: Array,
                       atom_mask: Array, pkt_mask: Array,
-                      dis_thres: float = 10.0) -> Array:
+                      dis_thres: float = 10.0, mode: int = 0) -> Array:
     """TankBind-style distance-map docking loss
-    (FABind/fabind/utils/generation_utils.py:42-69): |clamp(cdist(P, x), 10)
-    - y_pred| summed over valid pairs; configuration loss phased in after
-    500 steps with weight 5e-3 * (epoch - 500)."""
+    (FABind/fabind/utils/generation_utils.py:42-69): err(clamp(cdist(P, x),
+    thres) - y_pred) summed over valid pairs; configuration loss phased in
+    after 500 steps with weight 5e-3 * (epoch - 500). mode selects the
+    interaction error: 0 = L1, 1 = L2, 2 = sqrt-L1 (generation_utils.py:
+    47-54)."""
     dis = safe_sqrt(jnp.sum((protein_xyz[..., :, None, :]
                              - x[..., None, :, :]) ** 2, axis=-1))
     pm = pkt_mask[..., :, None] & atom_mask[..., None, :]
-    inter = jnp.sum(jnp.abs(jnp.minimum(dis, dis_thres) - y_pred) * pm,
-                    axis=(-1, -2))
+    err = jnp.minimum(dis, dis_thres) - y_pred
+    if mode == 0:
+        err = jnp.abs(err)
+    elif mode == 1:
+        err = err ** 2
+    elif mode == 2:
+        err = safe_sqrt(jnp.abs(err) + 1e-5)
+    else:
+        raise ValueError(f"unknown distance loss mode {mode}")
+    inter = jnp.sum(err * pm, axis=(-1, -2))
     conf = configuration_loss(x, ref_dis, las_mask, atom_mask)
     w = jnp.maximum(epoch - 500, 0) * 5e-3
     return inter + w * conf
@@ -98,7 +108,8 @@ def distance_optimize_batch(y_pred: Array, protein_xyz: Array,
                             ref_coords: Array, las_mask: Array,
                             atom_mask: Array, pkt_mask: Array,
                             key: Array, steps: int = 5000, lr: float = 0.1,
-                            dis_thres: float = 10.0) -> Tuple[Array, Array]:
+                            dis_thres: float = 10.0,
+                            mode: int = 0) -> Tuple[Array, Array]:
     """Batched legacy distance-map docking (generation_utils.py:72-97):
     initialize atoms uniformly within ±5 Å of the pocket center, Adam on
     coords against the predicted distance map + LAS constraints."""
@@ -113,7 +124,8 @@ def distance_optimize_batch(y_pred: Array, protein_xyz: Array,
         x, opt_state = carry
         def total(x):
             per = distance_map_loss(epoch, x, y_pred, protein_xyz, ref_dis,
-                                    las_mask, atom_mask, pkt_mask, dis_thres)
+                                    las_mask, atom_mask, pkt_mask, dis_thres,
+                                    mode)
             return jnp.sum(per), per
         (_, per), g = jax.value_and_grad(total, has_aux=True)(x)
         updates, opt_state = opt.update(g, opt_state, x)
@@ -123,5 +135,38 @@ def distance_optimize_batch(y_pred: Array, protein_xyz: Array,
                              jnp.arange(steps, dtype=jnp.float32))
     final = distance_map_loss(jnp.asarray(float(steps)), x, y_pred,
                               protein_xyz, ref_dis, las_mask, atom_mask,
-                              pkt_mask, dis_thres)
+                              pkt_mask, dis_thres, mode)
     return x, final
+
+
+def distance_dock_best_of(y_pred: Array, protein_xyz: Array,
+                          ref_coords: Array, las_mask: Array,
+                          atom_mask: Array, pkt_mask: Array, key: Array,
+                          n_repeat: int = 1, steps: int = 5000,
+                          lr: float = 0.1, dis_thres: float = 10.0,
+                          mode: int = 0) -> Tuple[Array, Array, Array]:
+    """`get_info_pred_distance` equivalent (generation_utils.py:99-120):
+    n_repeat independent random restarts; per complex keep the pose with
+    the lowest final loss. The reference loops restarts in Python and
+    returns a DataFrame; here restarts run as a device map and the info
+    arrays come back batched.
+
+    Returns: (best coords [B, Nc, 3], all coords [R, B, Nc, 3],
+    final losses [R, B])."""
+    keys = jax.random.split(key, n_repeat)
+
+    def one(k):
+        return distance_optimize_batch(
+            y_pred, protein_xyz, ref_coords, las_mask, atom_mask, pkt_mask,
+            k, steps=steps, lr=lr, dis_thres=dis_thres, mode=mode)
+
+    xs, losses = jax.lax.map(one, keys)         # [R,B,Nc,3], [R,B]
+    best = jnp.argmin(losses, axis=0)           # [B]
+    coords = jnp.take_along_axis(
+        xs, best[None, :, None, None], axis=0)[0]
+    return coords, xs, losses
+
+
+distance_dock_best_of_jit = jax.jit(
+    distance_dock_best_of,
+    static_argnames=("n_repeat", "steps", "lr", "dis_thres", "mode"))

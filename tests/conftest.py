@@ -23,3 +23,8 @@ jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test (compile-heavy)")

@@ -1,0 +1,144 @@
+"""Miniature reference-format PDBbind fixture.
+
+Writes a dataset directory in the EXACT on-disk schema the reference reads
+(FABind/fabind/data.py:42-96; FABind_plus/fabind/data.py:62; key encodings
+and pickle layouts from data.py:71-101 and tools/generate_esm2_t33.py:39-54):
+
+  {root}/dataset/processed/
+    data.pt                     torch-saved pandas DataFrame (or data_new.pt
+                                with the FABind+ isomorphics column)
+    protein_1d_3d.lmdb          key=protein_name, val=pickle((xyz[Nr,3]
+                                torch f32, seq[Nr] torch long))
+    compound_LAS_edge_index.lmdb key=compound_name, val=pickle((coords,
+                                node_feats[n,56], edge_list[E,3],
+                                edge_attr, pair_dis_distribution,
+                                LAS_edge_index[2,El]))  (torch tensors)
+    compound_rdkit_coords.pt    dict name -> coords
+    esm2_t33_650M_UR50D.lmdb    key=protein_name, val=pickle(emb[Nr,1280])
+
+LMDB files are real data.mdb B-trees (fabind_tpu.data.mdb when liblmdb is
+absent). Complexes are synthetic but physically coherent: the ligand sits
+inside the protein point cloud, bonds form a chain + one ring, LAS mask =
+bonds + 2-hop + ring pairs.
+"""
+import os
+import pickle
+
+import numpy as np
+import torch
+
+from fabind_tpu.data.featurize import las_mask_from_adj_rings
+from fabind_tpu.data.kv import write_kv
+
+ESM_DIM = 1280
+
+
+def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28):
+    """One synthetic complex in raw numpy form."""
+    rng = np.random.RandomState(seed)
+    prot = (rng.randn(n_res, 3) * 6).astype(np.float32)
+    seq = rng.randint(0, 20, size=n_res).astype(np.int64)
+    esm = rng.randn(n_res, ESM_DIM).astype(np.float32) * 0.2
+
+    # ligand: chain 0-1-...-k plus a 3-ring on the first atoms, placed near
+    # a few protein residues (so native_num_contact-style contacts exist)
+    center = prot[:4].mean(0)
+    lig = (center + 0.8 * rng.randn(n_atoms, 3)).astype(np.float32)
+    bonds = [(i, i + 1) for i in range(n_atoms - 1)] + [(0, 2)]
+    adj = np.zeros((n_atoms, n_atoms), np.int64)
+    for i, j in bonds:
+        adj[i, j] = adj[j, i] = 1
+    las = las_mask_from_adj_rings(adj, [[0, 1, 2]])
+
+    feats = np.zeros((n_atoms, 56), np.float32)
+    feats[np.arange(n_atoms), rng.randint(0, 17, n_atoms)] = 1.0  # symbol
+    feats[:, 18 + np.minimum(adj.sum(1), 6)] = 1.0                # degree
+
+    edge_list = []           # [E,3] torchdrug layout: (i, j, relation)
+    for i, j in bonds:
+        edge_list.append((i, j, 0))   # SINGLE
+        edge_list.append((j, i, 0))
+    edge_list = np.asarray(sorted(edge_list), np.int64)
+    las_idx = np.stack(np.nonzero(las)).astype(np.int64)
+    rdkit_coords = (lig - lig.mean(0)
+                    + 0.15 * rng.randn(n_atoms, 3)).astype(np.float32)
+    return dict(prot=prot, seq=seq, esm=esm, lig=lig, feats=feats,
+                edge_list=edge_list, las_idx=las_idx,
+                rdkit_coords=rdkit_coords, n_atoms=n_atoms)
+
+
+def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
+                           n_train: int = 4, n_valid: int = 2,
+                           n_test: int = 2) -> "list[str]":
+    """Write the fixture; returns the pdb ids of the kept (filter-passing)
+    rows in index order. Also includes rows the reference's split filters
+    must EXCLUDE (oversize ligand, too few contacts, use_compound_com=False)
+    so the filter logic is exercised, plus an unseen_test_index file."""
+    import pandas as pd
+
+    p = os.path.join(root, "dataset", "processed")
+    os.makedirs(p, exist_ok=True)
+
+    rows = []
+    protein_kv, compound_kv, esm_kv = {}, {}, {}
+    rdkit_coords = {}
+    isomorphics = []
+    names = []
+
+    def add(pdb, group, c_length=None, contacts=12, use_com=True,
+            n_atoms=8, n_res=28, sd=None):
+        c = synth_complex(seed * 1000 + len(rows) if sd is None else sd,
+                          n_atoms=n_atoms, n_res=n_res)
+        protein_kv[pdb.encode()] = pickle.dumps(
+            (torch.from_numpy(c["prot"]), torch.from_numpy(c["seq"])))
+        esm_kv[pdb.encode()] = pickle.dumps(torch.from_numpy(c["esm"]))
+        compound_kv[pdb.encode()] = pickle.dumps((
+            torch.from_numpy(c["lig"]),
+            torch.from_numpy(c["feats"]),
+            torch.from_numpy(c["edge_list"]),
+            torch.zeros((len(c["edge_list"]), 1)),      # edge_attr (unused)
+            torch.zeros((c["n_atoms"], c["n_atoms"], 16)),  # pair_dis (unused)
+            torch.from_numpy(c["las_idx"]),
+        ))
+        rdkit_coords[pdb] = torch.from_numpy(c["rdkit_coords"])
+        pocket_com = c["lig"].mean(0, keepdims=True).astype(np.float64)
+        rows.append(dict(pdb=pdb, group=group, protein_name=pdb,
+                         compound_name=pdb,
+                         c_length=(c["n_atoms"] if c_length is None
+                                   else c_length),
+                         native_num_contact=contacts,
+                         use_compound_com=use_com, pocket_com=pocket_com))
+        # identity + ring automorphism 0<->1 is NOT valid for the chain tail;
+        # just store identity + a real symmetric pair when one exists
+        isomorphics.append([np.arange(c["n_atoms"], dtype=np.int64)])
+        names.append(pdb)
+
+    for i in range(n_train):
+        add(f"tr{i:02d}", "train")
+    # filter-exercising rows (all group=train)
+    # c_length=120: excluded by the base filter (<100) but kept by the
+    # FABind+ expand_clength filter (<150) — exercises both variants
+    add("xxlig", "train", c_length=120)
+    add("xxcon", "train", contacts=3)             # native_num_contact filter
+    add("xxcom", "train", use_com=False)          # use_compound_com filter
+    for i in range(n_valid):
+        add(f"va{i:02d}", "valid")
+    for i in range(n_test):
+        add(f"te{i:02d}", "test")
+
+    df = pd.DataFrame(rows)
+    if plus:
+        df["isomorphics"] = isomorphics
+        torch.save(df, os.path.join(p, "data_new.pt"))
+    else:
+        torch.save(df, os.path.join(p, "data.pt"))
+    torch.save(rdkit_coords, os.path.join(p, "compound_rdkit_coords.pt"))
+    write_kv(os.path.join(p, "protein_1d_3d.lmdb"), protein_kv)
+    write_kv(os.path.join(p, "compound_LAS_edge_index.lmdb"), compound_kv)
+    write_kv(os.path.join(p, "esm2_t33_650M_UR50D.lmdb"), esm_kv)
+
+    os.makedirs(os.path.join(root, "split_pdb_id"), exist_ok=True)
+    with open(os.path.join(root, "split_pdb_id", "unseen_test_index"),
+              "w") as f:
+        f.write("te00\n")
+    return names
