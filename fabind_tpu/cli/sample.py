@@ -65,27 +65,33 @@ def _dock_half_impl(model, params, batch, center, key):
                        method=run, rngs={"dropout": key, "sample": key})
 
 
+import threading
 from collections import OrderedDict
 
 _JITTED: "OrderedDict" = OrderedDict()
 _JITTED_MAX = 8  # LRU bound: one entry per live shape bucket is the norm
+_JITTED_LOCK = threading.Lock()
 
 
 def _halves(model):
     """Jitted (pocket_half, dock_half) LRU-cached per model instance — flax
     modules are frozen dataclasses, so the same model reuses its compiled
     executables across sample_poses calls (one per serving bucket). Bounded
-    so long-lived callers cycling models can't grow it without limit."""
+    so long-lived callers cycling models can't grow it without limit;
+    locked so concurrent DockingEngine.dock_best_of callers can't race the
+    LRU bookkeeping."""
     import jax
-    if model in _JITTED:
-        _JITTED.move_to_end(model)
-    else:
-        _JITTED[model] = (
-            jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
-            jax.jit(lambda p, b, c, k, m=model: _dock_half_impl(m, p, b, c, k)))
-        while len(_JITTED) > _JITTED_MAX:
-            _JITTED.popitem(last=False)
-    return _JITTED[model]
+    with _JITTED_LOCK:
+        if model in _JITTED:
+            _JITTED.move_to_end(model)
+        else:
+            _JITTED[model] = (
+                jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
+                jax.jit(lambda p, b, c, k, m=model:
+                        _dock_half_impl(m, p, b, c, k)))
+            while len(_JITTED) > _JITTED_MAX:
+                _JITTED.popitem(last=False)
+        return _JITTED[model]
 
 
 def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,

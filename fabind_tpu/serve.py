@@ -64,6 +64,15 @@ class DockingEngine:
         its leading axis, one executable per bucket as before. batch_size
         must be divisible by dp. The TPU-slice serving mode — throughput
         scales with chips while the request API is unchanged.
+
+    Thread safety: every public dock_* method may be called concurrently.
+    The two engine-lifetime caches (compiled executables per bucket, host
+    protein featurization per path) are guarded by an internal RLock with
+    double-checked population; compiled executions themselves run OUTSIDE
+    the lock — JAX dispatch is thread-safe and serializes device work per
+    device queue, so concurrent requests interleave at batch granularity
+    (they pipeline rather than corrupt). Request-local state (routing
+    buffers, result lists) is per-call.
     """
 
     def __init__(self, cfg: FABindConfig, ckpt: Optional[str] = None,
@@ -81,6 +90,8 @@ class DockingEngine:
         self.bf16 = bf16
         self.post_optim_steps = post_optim_steps
         self.esm_device = esm_device
+        import threading
+        self._lock = threading.RLock()
         self._protein_cache: Dict[str, Tuple] = {}
         self.dp = dp
         if dp > 1:
@@ -136,7 +147,11 @@ class DockingEngine:
     def _fn(self, cfg_b: FABindConfig):
         import jax
         key = id(cfg_b)
-        if key not in self._fns:
+        if key in self._fns:        # fast path, no lock
+            return self._fns[key]
+        with self._lock:            # double-checked population
+            if key in self._fns:
+                return self._fns[key]
             model = self._models[key]
             flexible = cfg_b.model.flexible_docking
             post_steps = self.post_optim_steps
@@ -332,10 +347,12 @@ class DockingEngine:
                 mol = F.generate_conformation(mol)
                 feat = F.featurize_mol(mol)
                 if pdb_path not in self._protein_cache:
-                    struct = F.extract_protein_structure(pdb_path)
-                    esm = F.extract_esm_feature(struct["seq"],
-                                                device=self.esm_device)
-                    self._protein_cache[pdb_path] = (struct, esm)
+                    with self._lock:
+                        if pdb_path not in self._protein_cache:
+                            struct = F.extract_protein_structure(pdb_path)
+                            esm = F.extract_esm_feature(
+                                struct["seq"], device=self.esm_device)
+                            self._protein_cache[pdb_path] = (struct, esm)
                 struct, esm = self._protein_cache[pdb_path]
                 raws.append({
                     "protein_xyz": struct["coords"][:, 1],

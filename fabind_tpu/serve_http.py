@@ -23,9 +23,13 @@ Run:  python -m fabind_tpu.cli.serve --preset fabind --ckpt best_model.bin \
 
 Transport notes: npz keeps the 1280-d ESM features binary (JSON floats
 would 4x the payload); responses are JSON because poses are small. The
-server is a ThreadingHTTPServer but engine calls are serialized under a
-lock — batching across concurrent clients happens by sending multiple
-requests in one npz, which the engine routes and batches internally.
+server is a ThreadingHTTPServer and the engine's dock_* methods are
+thread-safe (see DockingEngine's threading contract), so concurrent
+requests pipeline their device batches instead of serializing whole
+requests; a semaphore bounds in-flight engine calls (default 4) to cap
+peak activation memory. Batching across clients still works best by
+sending multiple requests in one npz, which the engine routes and batches
+internally.
 """
 from __future__ import annotations
 
@@ -74,9 +78,11 @@ def _poses_json(poses) -> bytes:
     return json.dumps(out).encode()
 
 
-def make_server(engine, host: str = "127.0.0.1", port: int = 8400
-                ) -> ThreadingHTTPServer:
-    lock = threading.Lock()
+def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
+                max_inflight: int = 4) -> ThreadingHTTPServer:
+    # engine methods are thread-safe; the semaphore only bounds how many
+    # requests hold device batches in flight at once (memory, not safety)
+    lock = threading.Semaphore(max_inflight)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):   # quiet by default

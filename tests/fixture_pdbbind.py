@@ -69,11 +69,16 @@ def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28):
 
 def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
                            n_train: int = 4, n_valid: int = 2,
-                           n_test: int = 2) -> "list[str]":
+                           n_test: int = 2,
+                           overfit: bool = False) -> "list[str]":
     """Write the fixture; returns the pdb ids of the kept (filter-passing)
     rows in index order. Also includes rows the reference's split filters
     must EXCLUDE (oversize ligand, too few contacts, use_compound_com=False)
-    so the filter logic is exercised, plus an unseen_test_index file."""
+    so the filter logic is exercised, plus an unseen_test_index file.
+
+    overfit=True makes the test rows EXACT COPIES of the first train
+    complexes (same synthesis seed), so evaluating the test split after
+    training measures train-set memorization — the convergence probe."""
     import pandas as pd
 
     p = os.path.join(root, "dataset", "processed")
@@ -124,7 +129,9 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
     for i in range(n_valid):
         add(f"va{i:02d}", "valid")
     for i in range(n_test):
-        add(f"te{i:02d}", "test")
+        # overfit mode: test complex i IS train complex i (same synth seed)
+        add(f"te{i:02d}", "test",
+            sd=(seed * 1000 + i) if overfit else None)
 
     df = pd.DataFrame(rows)
     if plus:

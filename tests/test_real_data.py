@@ -168,6 +168,125 @@ def test_cli_train_evaluate_on_lmdb_fixture(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_converges_on_overfit_fixture(tmp_path):
+    """Round-1 verdict gap #4: prove the loss stack + stage gating +
+    optimizer LEARN, not merely execute. Overfit the 4 train complexes
+    (test split = exact copies of them) through cli.train, then assert
+    monotone-ish loss descent and train-set RMSD<2A saturating via
+    cli.evaluate. Settings mirror tools/train_convergence_probe.py
+    (measured: loss 38 -> ~2.5, rmsd_lt2 -> 1.0 by step ~500)."""
+    from fabind_tpu.cli import evaluate as eval_cli
+    from fabind_tpu.cli import train as train_cli
+
+    root = str(tmp_path / "pdbbind")
+    make_reference_fixture(root, overfit=True, n_test=4)
+    out = str(tmp_path / "run")
+    train_cli.main(["--data", root, "--output", out, "--epochs", "600",
+                    "--batch-size", "4", "--workers", "0", "--dp", "1",
+                    "--eval-every", "999", "--compile-cache",
+                    "~/.jax_cache_tests",
+                    "--set", "lr=3e-4", "--set", "warmup_epochs=1",
+                    "--set", "steps_per_epoch=1"] + SHAPE_SETS)
+
+    recs = [json.loads(line) for line in
+            open(os.path.join(out, "metrics.jsonl"))
+            if '"train"' in line]
+    losses = [r["loss"] for r in recs if "loss" in r]
+    assert len(losses) >= 8
+    first, last = np.mean(losses[:2]), np.mean(losses[-2:])
+    assert last < 0.25 * first, f"loss did not descend: {first} -> {last}"
+
+    metrics_path = str(tmp_path / "eval.json")
+    eval_cli.main(["--data", root, "--ckpt", os.path.join(out, "ckpt"),
+                   "--batch-size", "4", "--split", "test", "--workers", "0",
+                   "--prefetch", "0", "--out", metrics_path] + SHAPE_SETS)
+    m = json.load(open(metrics_path))
+    assert m["n"] == 4
+    assert m["rmsd_lt2"] >= 0.75, f"overfit failed: {m}"
+
+
+@pytest.mark.slow
+def test_confidence_pipeline_end_to_end(tmp_path):
+    """Round-2 item 7: regression training -> cli.train_confidence from its
+    checkpoint dir -> frozen backbone + trained head -> the resulting
+    checkpoint serves through DockingEngine.dock_best_of.
+    Reference: FABind_plus train_confidence.py:158-287."""
+    import jax
+    from fabind_tpu.cli import train as train_cli
+    from fabind_tpu.cli import train_confidence as conf_cli
+    from fabind_tpu.config import preset
+    from fabind_tpu.train import checkpoints
+
+    root = str(tmp_path / "pdbbind_plus")
+    make_reference_fixture(root, plus=True)
+    reg_out = str(tmp_path / "reg")
+    train_cli.main(["--preset", "fabind_plus", "--data", root,
+                    "--output", reg_out, "--epochs", "1", "--batch-size",
+                    "2", "--workers", "0", "--dp", "1", "--eval-every",
+                    "99", "--compile-cache", "~/.jax_cache_tests"]
+                   + SHAPE_SETS)
+
+    conf_out = str(tmp_path / "conf")
+    conf_cli.main(["--data", root, "--output", conf_out,
+                   "--init-ckpt", os.path.join(reg_out, "ckpt"),
+                   "--epochs", "5", "--batch-size", "2",
+                   "--num-copies", "2"] + SHAPE_SETS)
+
+    log = open(os.path.join(conf_out, "log.txt")).read()
+    assert "initialized backbone from" in log
+
+    # epoch metrics report the reference's ranking metrics and the head fits
+    recs = [json.loads(line) for line in
+            open(os.path.join(conf_out, "metrics.jsonl"))
+            if '"epoch"' in line]
+    assert recs and all("ranking_accuracy" in r and "hit_rate" in r
+                        for r in recs)
+    assert all(np.isfinite(r["confidence_loss"]) for r in recs)
+    assert recs[-1]["confidence_loss"] < recs[0]["confidence_loss"], \
+        [r["confidence_loss"] for r in recs]
+
+    # backbone frozen across confidence epochs; ranking head moved
+    cfg = preset("fabind_plus_sampling", batch_size=2,
+                 **{kv.split("=")[0]: int(kv.split("=")[1])
+                    for kv in [s for s in SHAPE_SETS if "=" in s]})
+    from fabind_tpu.data.types import dummy_batch
+    from fabind_tpu.models.fabind import make_model
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    tmpl = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k},
+        dummy_batch(cfg.shapes, batch_size=1), train=False,
+        stage=2))()["params"]
+    p0 = checkpoints.restore_params(
+        os.path.join(conf_out, "ckpt", "params_epoch0"), tmpl)
+    p4 = checkpoints.restore_params(
+        os.path.join(conf_out, "ckpt", "params_epoch4"), tmpl)
+    same_bb = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        p0["complex_model"], p4["complex_model"]))
+    assert same_bb, "backbone moved during confidence training"
+    head_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0["ranking_score_mlp"]),
+                        jax.tree_util.tree_leaves(p4["ranking_score_mlp"])))
+    assert head_moved, "ranking head did not train"
+
+    # the confidence checkpoint serves through best-of-N sampling
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+    from fabind_tpu.serve import DockingEngine
+    eng = DockingEngine(
+        cfg, ckpt=os.path.join(conf_out, "ckpt", "params_epoch4"),
+        batch_size=2, bf16=False)
+    src = PDBBindLMDBSource(root)
+    raws = [src.get(i) for i in src.splits("fabind_plus")["test"]]
+    poses = eng.dock_best_of(raws, sample_size=2, seed=0)
+    assert len(poses) == len(raws)
+    for p in poses:
+        assert p.error is None and np.isfinite(p.coords).all()
+        assert np.isfinite(p.confidence)
+
+
+@pytest.mark.slow
 def test_cli_sample_on_plus_lmdb_fixture(tmp_path):
     """FABind+ sampling benchmark path over the LMDB fixture: train briefly
     with the plus preset, then best-of-N sampling with confidence scores and
