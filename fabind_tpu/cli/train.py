@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--save-every-steps", type=int, default=0,
                    help="also checkpoint every N steps (async, mid-epoch "
                         "resumable); 0 = per-epoch only")
+    p.add_argument("--save-every-epochs", type=int, default=1,
+                   help="checkpoint every N epochs (the final epoch always "
+                        "saves); raise when epochs are seconds long and "
+                        "checkpoint IO would dominate")
     p.add_argument("--keep", type=int, default=3,
                    help="checkpoint retention: newest N step dirs kept")
     p.add_argument("--profile-dir", default=None,
@@ -201,8 +205,11 @@ def main(argv=None):
         logger.log_message(
             f"epoch {epoch} done in {time.time()-t0:.1f}s; "
             f"dropped {train_loader.n_dropped} oversize samples")
-        ckptr.save(jax.device_get(state),
-                   meta={"epoch": epoch + 1, "batch_in_epoch": 0}, step=step)
+        if ((epoch + 1) % max(args.save_every_epochs, 1) == 0
+                or epoch + 1 == cfg.train.total_epochs):
+            ckptr.save(jax.device_get(state),
+                       meta={"epoch": epoch + 1, "batch_in_epoch": 0},
+                       step=step)
 
         if (epoch + 1) % args.eval_every == 0 and len(valid_loader.indices):
             for stage, eval_step in eval_steps.items():

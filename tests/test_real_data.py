@@ -181,9 +181,13 @@ def test_training_converges_on_overfit_fixture(tmp_path):
     root = str(tmp_path / "pdbbind")
     make_reference_fixture(root, overfit=True, n_test=4)
     out = str(tmp_path / "run")
+    # seed 0 pins the measured trajectory (lt2 0.75-1.0 from step ~450);
+    # --save-every-epochs avoids 600 per-epoch orbax saves dominating
+    # wall-clock at 1 step/epoch
     train_cli.main(["--data", root, "--output", out, "--epochs", "600",
                     "--batch-size", "4", "--workers", "0", "--dp", "1",
-                    "--eval-every", "999", "--compile-cache",
+                    "--seed", "0", "--eval-every", "999",
+                    "--save-every-epochs", "100", "--compile-cache",
                     "~/.jax_cache_tests",
                     "--set", "lr=3e-4", "--set", "warmup_epochs=1",
                     "--set", "steps_per_epoch=1"] + SHAPE_SETS)
