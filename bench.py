@@ -23,6 +23,20 @@ FABIND_BENCH_MAXSHAPES (default 0).
 
 Baseline: the FABind paper reports ~0.1 s/complex on an A100-class GPU
 (BASELINE.md (b)); vs_baseline = complexes_per_sec / 10.
+
+Provenance caveats (documented, deliberate):
+- The complexes are synthetic `dummy_batch` tensors at PDBbind-
+  representative VALID sizes (48 atoms / 400 residues). Throughput on
+  fixed shapes is content-independent (same HLO, same FLOPs), so this
+  measures exactly what real data would — but accuracy is measured
+  elsewhere (tests/test_golden_*, cli.evaluate), never here.
+- In the "bucketed" configuration the synthetic complexes exactly fit the
+  measured bucket; real traffic spanning several buckets pays one compile
+  per bucket and per-bucket padding waste — the max-shapes number
+  (FABIND_BENCH_MAXSHAPES=1) bounds that from below.
+- vs_baseline divides by the paper's ~10 complexes/s A100 claim, which is
+  not reproducible in-repo (BASELINE.md separates repo-fixed facts from
+  paper claims).
 """
 from __future__ import annotations
 
