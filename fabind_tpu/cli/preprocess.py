@@ -52,7 +52,10 @@ def _mol_record(smiles: str, seed: int, num_conformers: int = 1):
 def _maybe_isomorphisms(rec, max_iso: int):
     """Reference-exact automorphism labels (FABind_plus
     isomorphism.py:49-62): atomic_number*100 + incident-bond-order-sum, so
-    element-equal atoms with different bonding cannot permute."""
+    element-equal atoms with different bonding cannot permute. max_iso<=0
+    stores the FULL group (HARD_ISO_LIMIT-bounded) — the default, so
+    eval-time symmetric RMSD via Loader meta is genuinely uncapped; the
+    collator re-caps the device copy for the permutation loss."""
     from fabind_tpu.data.isomorphism import (automorphisms_from_graph,
                                              iso_labels_from_arrays)
     feats = rec["feats"]
@@ -61,7 +64,8 @@ def _maybe_isomorphisms(rec, max_iso: int):
         labels = iso_labels_from_arrays(feats, rec["bond_edges"],
                                         rec.get("bond_orders"))
     return automorphisms_from_graph(
-        feats.shape[0], rec["bond_edges"], labels, max_iso=max_iso)
+        feats.shape[0], rec["bond_edges"], labels,
+        max_iso=(max_iso if max_iso and max_iso > 0 else None))
 
 
 def _safe_mol_record(smiles, seed, n_conf):
@@ -115,6 +119,8 @@ def run_inference_mode(args):
                     "lig_coords": rec["coords"],           # conformer (no GT)
                     "lig_feats": rec["feats"],
                     "bond_edges": rec["bond_edges"],
+                    "bond_orders": rec["bond_orders"],
+                    "iso_labels": rec["iso_labels"],
                     "las_mask": rec["las_mask"],
                     "rdkit_coords": rec["coords"],
                     "smiles": np.asarray(rec["smiles"]),
@@ -151,7 +157,7 @@ def run_pdbbind_mode(args):
                     raw.get("bond_orders"))
                 raw["isomorphisms"] = automorphisms_from_graph(
                     raw["lig_feats"].shape[0], raw["bond_edges"], labels,
-                    max_iso=args.max_iso)
+                    max_iso=(args.max_iso if args.max_iso > 0 else None))
             raw.pop("group", None)
             np.savez(os.path.join(args.out, f"{name}.npz"),
                      **{k: v for k, v in raw.items() if v is not None})
@@ -236,7 +242,9 @@ def main(argv=None):
     pi.add_argument("--seed", type=int, default=2024)
     pi.add_argument("--esm-device", default="cpu")
     pi.add_argument("--isomorphisms", action="store_true")
-    pi.add_argument("--max-iso", type=int, default=8)
+    pi.add_argument("--max-iso", type=int, default=0,
+                    help="cap stored automorphisms (0 = full group; the "
+                         "collator caps the device copy separately)")
 
     pp = sub.add_parser("pdbbind")
     pp.add_argument("--data", required=True,
@@ -244,7 +252,8 @@ def main(argv=None):
     pp.add_argument("--out", required=True)
     pp.add_argument("--limit", type=int, default=None)
     pp.add_argument("--isomorphisms", action="store_true")
-    pp.add_argument("--max-iso", type=int, default=8)
+    pp.add_argument("--max-iso", type=int, default=0,
+                    help="cap stored automorphisms (0 = full group)")
 
     pe = sub.add_parser("esm")
     pe.add_argument("--seqs", default=None, help="FASTA file")

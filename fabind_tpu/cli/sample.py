@@ -198,7 +198,8 @@ def main(argv=None):
 
     from fabind_tpu.data.dataset import open_source
     source, indices = open_source(args.data, variant="fabind_plus",
-                                  split=args.split)
+                                  split=args.split,
+                                  use_esm2_feat=cfg.model.use_esm2_feat)
     loader = Loader(source, indices, cfg, group=args.split,
                     batch_size=args.batch_size, workers=8, prefetch_depth=2)
 

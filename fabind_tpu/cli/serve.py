@@ -56,7 +56,8 @@ def main(argv=None):
         from fabind_tpu.data.dataset import open_source
         k = int(args.buckets.split(":")[1]) if ":" in args.buckets else 3
         source, indices = open_source(args.data, variant=args.preset,
-                                      split="test")
+                                      split="test",
+                                      use_esm2_feat=cfg.model.use_esm2_feat)
         sizes = measure_sizes(source, indices, cfg, group="test", limit=512)
         buckets = suggest_buckets(sizes, cfg, k=k)
         print("auto buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)

@@ -42,7 +42,8 @@ def measure_sizes(source, indices: Sequence, cfg: FABindConfig,
         s = build_sample(raw, cfg, group=group, rng=rng)
         sizes.append((s["lig_feat"].shape[0], len(s["pocket_idx"]),
                       s["prot_xyz"].shape[0]))
-    return np.asarray(sizes, np.int64)
+    # keep 2-D for empty inputs so suggest_buckets can fall back cleanly
+    return np.asarray(sizes, np.int64).reshape(-1, 3)
 
 
 def _pad8(v: int) -> int:

@@ -147,7 +147,6 @@ class PDBBindLMDBSource:
         el = npy(edge_list)
         out = {
             "protein_xyz": npy(protein_xyz).astype(np.float32),
-            "esm_feat": npy(esm_feat).astype(np.float32),
             "lig_coords": npy(coords).astype(np.float32),
             "lig_feats": npy(feats).astype(np.float32),
             "bond_edges": el[:, :2].astype(np.int64),
@@ -156,6 +155,8 @@ class PDBBindLMDBSource:
             "pdb": line.get("pdb", cname),
             "group": line.get("group", "train"),
         }
+        if esm_feat is not None:   # absent when use_esm2_feat=False
+            out["esm_feat"] = npy(esm_feat).astype(np.float32)
         if el.ndim == 2 and el.shape[1] >= 3:
             # torchdrug relation ids (feature_utils.py:170 edge_list[:,2]:
             # SINGLE=0, DOUBLE=1, TRIPLE=2, AROMATIC=3) -> bond orders
@@ -164,9 +165,10 @@ class PDBBindLMDBSource:
                 [order_map.get(int(t), 0.0) for t in el[:, 2]], np.float32)
         if "isomorphics" in line.index:
             # FABind+ data_new.pt column injected offline by
-            # tools/inject_isomorphism_to_data.py:30-47
+            # tools/inject_isomorphism_to_data.py:30-47; rows the injection
+            # skipped hold pandas NaN (a float), not None — type-check
             isos = line["isomorphics"]
-            if isos is not None and len(isos):
+            if isinstance(isos, (list, tuple, np.ndarray)) and len(isos):
                 out["isomorphisms"] = np.stack(
                     [np.asarray(p, np.int32) for p in isos])
         return out

@@ -28,7 +28,10 @@ def open_kv(path: str, readonly: bool = True, **kw):
 
 
 def write_kv(path: str, items) -> None:
-    """Write a fresh environment holding `items` (dict[bytes, bytes])."""
+    """Put `items` (dict[bytes, bytes]) into the environment at `path`,
+    creating it if needed. Both backends MERGE into existing contents
+    (lmdb txn.put semantics); the pure-Python fallback reads any existing
+    entries before rebuilding the file."""
     try:
         import lmdb
         env = lmdb.open(path, map_size=1 << 34)
@@ -39,4 +42,8 @@ def write_kv(path: str, items) -> None:
         env.close()
     except ImportError:
         from fabind_tpu.data import mdb
-        mdb.write_env(path, dict(items))
+        env = mdb.Env(path, readonly=False)
+        with env.begin(write=True) as txn:
+            for k, v in items.items():
+                txn.put(k, v)
+        env.close()

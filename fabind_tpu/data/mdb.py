@@ -109,61 +109,65 @@ def _node_room(nb: bytes) -> int:
 
 
 def write_env(path: str, items: Dict[bytes, bytes],
-              map_size: Optional[int] = None) -> None:
-    """Write a fresh LMDB environment directory (data.mdb inside `path`)
-    holding `items` in the main DB."""
+              map_size: Optional[int] = None,
+              data_file: Optional[str] = None) -> None:
+    """Write a fresh LMDB environment holding `items` in the main DB.
+
+    `path` is the environment directory (data.mdb inside) unless
+    `data_file` overrides the target file (subdir=False style envs).
+
+    Streams to disk page-by-page in pgno order (metas, overflow chains,
+    leaves, branches are laid out ascending) — peak extra memory is the
+    leaf/branch node metadata plus one value, NOT the whole file; values
+    themselves are only referenced from `items`."""
     os.makedirs(path, exist_ok=True)
+    target = data_file or os.path.join(path, "data.mdb")
     kv = sorted(items.items())
-    pages: List[_Page] = []
     next_pg = 2
 
-    def alloc(flags: int, data: bytes) -> int:
-        nonlocal next_pg
-        pg = next_pg
-        pages.append(_Page(pg, flags, data))
-        next_pg += max(1, (len(data) + PAGESIZE - 1) // PAGESIZE)
-        return pg
-
+    # pass 1: plan overflow chains + leaf nodes (no page buffers yet)
     n_overflow = 0
-    leaf_nodes: List[Tuple[bytes, bytes]] = []  # (key, packed node)
+    overflows: List[Tuple[int, int, bytes]] = []   # (pgno, npages, value)
+    leaf_nodes: List[Tuple[bytes, bytes]] = []     # (key, packed node)
     for k, v in kv:
         if len(k) > 511:
             raise ValueError(f"key too long for LMDB default: {len(k)}")
         if NODESZ + len(k) + len(v) > NODEMAX:
             npg = (PAGEHDRSZ + len(v) + PAGESIZE - 1) // PAGESIZE
-            buf = bytearray(npg * PAGESIZE)
-            struct.pack_into("<Q", buf, 0, next_pg)
-            struct.pack_into("<HHI", buf, 8, 0, P_OVERFLOW, npg)
-            buf[PAGEHDRSZ:PAGEHDRSZ + len(v)] = v
-            ov = alloc(P_OVERFLOW, bytes(buf))
+            overflows.append((next_pg, npg, v))
+            leaf_nodes.append((k, _leaf_node(k, v, next_pg)))
+            next_pg += npg
             n_overflow += npg
-            leaf_nodes.append((k, _leaf_node(k, v, ov)))
         else:
             leaf_nodes.append((k, _leaf_node(k, v, None)))
 
-    # pack leaves (>=2 nodes per page when the tree has depth; liblmdb's
-    # MDB_MINKEYS)
+    # pass 2: pack leaves then branch levels (small page buffers only)
     capacity = PAGESIZE - PAGEHDRSZ
+    pages: List[_Page] = []
+
+    def alloc(flags: int, nodes: List[bytes]) -> int:
+        nonlocal next_pg
+        pg = next_pg
+        pages.append(_Page(pg, flags, _pack_node_page(pg, flags, nodes)))
+        next_pg += 1
+        return pg
+
     leaves: List[Tuple[bytes, int]] = []   # (first key, pgno)
-    n_leaf = 0
     cur: List[bytes] = []
     cur_keys: List[bytes] = []
     cur_room = 0
     for k, nb in leaf_nodes:
         if cur and cur_room + _node_room(nb) > capacity:
-            pg = alloc(P_LEAF, _pack_node_page(next_pg, P_LEAF, cur))
-            leaves.append((cur_keys[0], pg))
-            n_leaf += 1
+            leaves.append((cur_keys[0], alloc(P_LEAF, cur)))
             cur, cur_keys, cur_room = [], [], 0
         cur.append(nb)
         cur_keys.append(k)
         cur_room += _node_room(nb)
     if cur or not leaves:
-        pg = alloc(P_LEAF, _pack_node_page(next_pg, P_LEAF, cur))
-        leaves.append((cur_keys[0] if cur_keys else b"", pg))
-        n_leaf += 1
+        leaves.append((cur_keys[0] if cur_keys else b"",
+                       alloc(P_LEAF, cur)))
+    n_leaf = len(leaves)
 
-    # branch levels until a single root
     depth = 1
     n_branch = 0
     level = leaves
@@ -183,9 +187,8 @@ def write_env(path: str, items: Dict[bytes, bytes],
                 gkeys.append(fk)
                 room += _node_room(nb)
                 i += 1
-            pg = alloc(P_BRANCH, _pack_node_page(next_pg, P_BRANCH, group))
             n_branch += 1
-            nxt.append((gkeys[0], pg))
+            nxt.append((gkeys[0], alloc(P_BRANCH, group)))
         level = nxt
         depth += 1
 
@@ -218,16 +221,29 @@ def write_env(path: str, items: Dict[bytes, bytes],
         page[PAGEHDRSZ:PAGEHDRSZ + len(body)] = body
         return bytes(page)
 
-    buf = bytearray(fsize)
-    buf[0:PAGESIZE] = meta_page(0, 1)
-    buf[PAGESIZE:2 * PAGESIZE] = meta_page(1, 1)
-    for p in pages:
-        off = p.pgno * PAGESIZE
-        buf[off:off + len(p.data)] = p.data
-    tmp = os.path.join(path, "data.mdb.tmp")
+    # pass 3: stream everything in ascending pgno order
+    tmp = target + ".tmp"
     with builtins.open(tmp, "wb") as f:
-        f.write(bytes(buf))
-    os.replace(tmp, os.path.join(path, "data.mdb"))
+        f.write(meta_page(0, 1))
+        f.write(meta_page(1, 1))
+        write_order = sorted(
+            [(_pg, ("ov", npg, v)) for _pg, npg, v in overflows]
+            + [(p.pgno, ("node", p.data)) for p in pages])
+        hdr = bytearray(PAGEHDRSZ)
+        for pg, item in write_order:
+            if item[0] == "ov":
+                _, npg, v = item
+                hdr[:] = bytes(PAGEHDRSZ)
+                struct.pack_into("<Q", hdr, 0, pg)
+                struct.pack_into("<HHI", hdr, 8, 0, P_OVERFLOW, npg)
+                f.write(hdr)
+                f.write(v)
+                pad = npg * PAGESIZE - PAGEHDRSZ - len(v)
+                f.write(bytes(pad))
+            else:
+                f.write(item[1])
+        assert f.tell() == fsize, (f.tell(), fsize)
+    os.replace(tmp, target)
 
 
 class _Txn:
@@ -268,6 +284,7 @@ class Env:
         if os.path.isfile(path):   # subdir=False style
             data = path
             self.path = os.path.dirname(path)
+        self._file = data          # sync() must rewrite THIS file
         if os.path.exists(data):
             with builtins.open(data, "rb") as f:
                 self._buf = f.read()
@@ -397,12 +414,15 @@ class Env:
         self._dirty = True
 
     def sync(self, force: bool = True):
+        """Commit pending writes: whole-env rebuild (see module docstring;
+        the pure-Python writer holds the merged store in memory once — use
+        the C binding for stores larger than RAM)."""
         if not self._dirty:
             return
         merged = dict(self._read_all())
         merged.update(self._pending or {})
-        write_env(self.path, merged)
-        with builtins.open(os.path.join(self.path, "data.mdb"), "rb") as f:
+        write_env(self.path, merged, data_file=self._file)
+        with builtins.open(self._file, "rb") as f:
             self._buf = f.read()
         self._parse_meta()
         self._pending = None

@@ -52,7 +52,7 @@ def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28):
 
     feats = np.zeros((n_atoms, 56), np.float32)
     feats[np.arange(n_atoms), rng.randint(0, 17, n_atoms)] = 1.0  # symbol
-    feats[:, 18 + np.minimum(adj.sum(1), 6)] = 1.0                # degree
+    feats[np.arange(n_atoms), 18 + np.minimum(adj.sum(1), 6)] = 1.0  # degree
 
     edge_list = []           # [E,3] torchdrug layout: (i, j, relation)
     for i, j in bonds:

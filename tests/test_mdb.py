@@ -4,6 +4,15 @@ When the real `lmdb` binding is importable the tests additionally cross-read
 each file with it (interop proof); in lmdb-less environments the pure
 reader/writer pair is self-checked plus verified against hand-decoded
 structs.
+
+Known coverage limit: the reverse interop direction (this reader parsing a
+file WRITTEN by real liblmdb) cannot be exercised here — neither the
+binding nor liblmdb/mdb_dump exists in this image to produce such a file,
+and committing one produced elsewhere would be an unverifiable blob. The
+struct layouts were checked against liblmdb 0.9's mdb.c conventions
+(PAGEHDRSZ=16, meta psize in FREE.md_pad, branch NODEPGNO lo/hi/flags
+packing, F_BIGDATA overflow chains); environments WITH the binding never
+take the pure-Python path at all (kv.open_kv prefers the C reader).
 """
 import os
 import pickle
@@ -114,6 +123,32 @@ def test_incremental_update_preserves_existing(tmp_path):
     with env2.begin() as txn:
         assert dict(txn.cursor()) == {b"a": b"updated", b"b": b"2",
                                       b"c": b"3"}
+
+
+def test_file_style_env_writes_back_to_same_file(tmp_path):
+    """subdir=False style: opening a bare data file read-write must commit
+    to THAT file, not dirname/data.mdb (round-2 review finding)."""
+    d = tmp_path / "env.lmdb"
+    mdb.write_env(str(d), {b"a": b"1"})
+    fpath = str(d / "data.mdb")
+    env = mdb.open(fpath, readonly=False)   # file, not directory
+    with env.begin(write=True) as txn:
+        txn.put(b"b", b"2")
+    env.close()
+    env2 = mdb.open(fpath)
+    with env2.begin() as txn:
+        assert dict(txn.cursor()) == {b"a": b"1", b"b": b"2"}
+
+
+def test_write_kv_merges_like_lmdb(tmp_path):
+    """write_kv must merge into existing contents with BOTH backends
+    (real lmdb txn.put merges; the fallback must too)."""
+    path = str(tmp_path / "m.lmdb")
+    write_kv(path, {b"a": b"1", b"b": b"2"})
+    write_kv(path, {b"b": b"new", b"c": b"3"})
+    env = open_kv(path)
+    with env.begin() as txn:
+        assert dict(txn.cursor()) == {b"a": b"1", b"b": b"new", b"c": b"3"}
 
 
 def test_readonly_rejects_writes(tmp_path):

@@ -84,6 +84,46 @@ def test_lmdb_source_plus_variant(tmp_path):
     assert raw["isomorphisms"].shape[1] == raw["lig_feats"].shape[0]
 
 
+def test_lmdb_source_without_esm(tmp_path):
+    """use_esm2_feat=False must not touch (or require) the ESM store and
+    must omit esm_feat from the raw dict (round-2 review finding)."""
+    import shutil
+
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+
+    root = str(tmp_path / "pdbbind")
+    make_reference_fixture(root)
+    # delete the ESM store entirely: the no-ESM path may not depend on it
+    shutil.rmtree(os.path.join(root, "dataset", "processed",
+                               "esm2_t33_650M_UR50D.lmdb"))
+    src = PDBBindLMDBSource(root, use_esm2_feat=False)
+    raw = src.get(src.splits("fabind")["test"][0])
+    assert "esm_feat" not in raw
+    assert raw["protein_xyz"].ndim == 2
+
+
+def test_isomorphics_nan_rows_are_skipped(tmp_path):
+    """pandas stores NaN (a float) for rows the offline isomorphism
+    injection skipped; the source must treat those as 'no isomorphisms',
+    not crash on len(nan)."""
+    import pandas as pd
+    import torch
+
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+
+    root = str(tmp_path / "pdbbind_plus")
+    make_reference_fixture(root, plus=True)
+    p = os.path.join(root, "dataset", "processed", "data_new.pt")
+    df = torch.load(p, weights_only=False)
+    df.loc[df.index[:2], "isomorphics"] = np.nan
+    torch.save(df, p)
+    src = PDBBindLMDBSource(root)
+    raw0 = src.get(0)
+    assert raw0.get("isomorphisms") is None
+    raw_last = src.get(len(src.index) - 1)
+    assert raw_last.get("isomorphisms") is not None
+
+
 def test_open_source_probes_lmdb_layout(tmp_path):
     from fabind_tpu.data.dataset import (NPZSource, PDBBindLMDBSource,
                                          open_source)
