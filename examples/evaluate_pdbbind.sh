@@ -17,6 +17,16 @@ python -m fabind_tpu.cli.evaluate --preset fabind_plus --data "$DATA" \
     --ckpt ckpt/fabind_plus_best_ckpt.bin --buckets auto --split test \
     --symmetric-rmsd --save-rmsd rmsd.txt --write-coords-dir poses/
 
-# FABind+ sampling benchmark (test_sampling_fabind.py): best-of-40
+# FABind+ sampling benchmark (test_sampling_fabind.py): best-of-40 with the
+# symmetric-RMSD protocol and the per-epoch confidence dumps the reference
+# aggregation consumes
 python -m fabind_tpu.cli.sample --data "$DATA" \
-    --ckpt ckpt/fabind_plus_best_ckpt.bin --sample-size 40
+    --ckpt ckpt/fabind_plus_best_ckpt.bin --sample-size 40 \
+    --symmetric-rmsd --save-rmsd-dir sampling_dumps/
+
+# Legacy TankBind-style distance-map docking (generation_utils.py:42-120):
+# discard the coordinate head's pose and optimize coords against the
+# predicted distance map + LAS constraints, best of 3 random restarts
+python -m fabind_tpu.cli.evaluate --preset fabind --data "$DATA" \
+    --ckpt ckpt/best_model.bin --split test \
+    --distmap-dock --distmap-repeats 3

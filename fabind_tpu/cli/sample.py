@@ -163,6 +163,10 @@ def main(argv=None):
                    help="write per-sample-epoch 'pdb rmsd centroid "
                         "confidence' lines as epoch{i}_confidence.txt "
                         "(the reference benchmark's aggregation inputs)")
+    p.add_argument("--symmetric-rmsd", action="store_true",
+                   help="symmetry-corrected RMSD over the full ligand "
+                        "automorphism group (the FABind+ eval protocol, "
+                        "utils/training.py:273-289 via spyrmsd)")
     p.add_argument("--out", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override (any ModelConfig/ShapeConfig/"
@@ -179,7 +183,7 @@ def main(argv=None):
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.train.convert import convert_checkpoint
     from fabind_tpu.utils.metrics import (centroid_distance, ligand_rmsd,
-                                          summarize_rmsd)
+                                          summarize_rmsd, symmetric_rmsd)
 
     from fabind_tpu.config import parse_overrides
     cfg = preset(args.preset, **parse_overrides(args.set))
@@ -212,8 +216,19 @@ def main(argv=None):
                                       batch_idx=bi)
         true = np.asarray(batch.lig_coords)
         mask = np.asarray(batch.lig_mask)
-        rmsds.append(np.stack([ligand_rmsd(c, true, mask)[:nv]
-                               for c in coords]))
+        if args.symmetric_rmsd:
+            # full (untruncated) automorphism lists from the loader meta
+            r = np.zeros((coords.shape[0], nv))
+            for s in range(coords.shape[0]):
+                for i in range(nv):
+                    nl = int(mask[i].sum())
+                    r[s, i] = symmetric_rmsd(coords[s, i, :nl],
+                                             true[i, :nl],
+                                             meta["iso"][i])
+            rmsds.append(r)
+        else:
+            rmsds.append(np.stack([ligand_rmsd(c, true, mask)[:nv]
+                                   for c in coords]))
         cents.append(np.stack([centroid_distance(c, true, mask)[:nv]
                                for c in coords]))
         confs.append(scores[:, :nv])

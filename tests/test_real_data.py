@@ -351,7 +351,7 @@ def test_cli_sample_on_plus_lmdb_fixture(tmp_path):
     dump_dir = str(tmp_path / "dumps")
     sample_cli.main(["--ckpt", ckpt, "--data", root, "--split", "test",
                      "--sample-size", "2", "--batch-size", "2",
-                     "--save-rmsd-dir", dump_dir,
+                     "--save-rmsd-dir", dump_dir, "--symmetric-rmsd",
                      "--out", metrics_path] + SHAPE_SETS)
     m = json.load(open(metrics_path))
     assert m["n"] == 2 and m["sample_size"] == 2
