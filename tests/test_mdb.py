@@ -162,3 +162,27 @@ def test_readonly_rejects_writes(tmp_path):
 def test_missing_env_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         mdb.open(str(tmp_path / "nope.lmdb"))
+
+
+def test_fuzz_roundtrip_random_sizes(tmp_path):
+    """Randomized round-trip: binary keys, value sizes spanning the inline/
+    overflow boundary (NODEMAX=2040) and page-multiple edges, plus empty
+    values and near-limit keys."""
+    rng = np.random.RandomState(1234)
+    items = {}
+    # sizes hugging every structural boundary
+    edge_sizes = [0, 1, mdb.NODEMAX - 20, mdb.NODEMAX - 8, mdb.NODEMAX,
+                  mdb.NODEMAX + 1, mdb.PAGESIZE - mdb.PAGEHDRSZ,
+                  mdb.PAGESIZE - mdb.PAGEHDRSZ + 1, mdb.PAGESIZE,
+                  2 * mdb.PAGESIZE, 2 * mdb.PAGESIZE + 1]
+    for i, sz in enumerate(edge_sizes):
+        items[b"edge\x00" + bytes([i])] = rng.bytes(sz)
+    # random binary keys/values
+    for _ in range(400):
+        klen = int(rng.randint(1, 64))
+        items[rng.bytes(klen)] = rng.bytes(int(rng.randint(0, 6000)))
+    # a key at the 511-byte limit
+    items[b"L" * 511] = b"limit"
+    roundtrip(tmp_path, items, name="fuzz.lmdb")
+    with pytest.raises(ValueError):
+        mdb.write_env(str(tmp_path / "badkey.lmdb"), {b"K" * 512: b"x"})
