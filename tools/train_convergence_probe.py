@@ -18,6 +18,10 @@ Without --data it synthesizes a 4-complex reference-format LMDB fixture
 Committed result (CPU, 600 steps, 4 complexes, lr 3e-4, hidden 16):
   loss 38.4 -> ~2.5, rmsd_lt2 0.0 -> 1.0 at ~step 500 (see test_real_data
   .test_training_converges_on_overfit_fixture for the CI-enforced version).
+Committed result (real TPU chip, same config, round 2):
+  loss 39.4 -> 2.7, rmsd_lt2 1.0 by step 500, 105 s wall for 600 steps —
+  the learning dynamics reproduce on the deployment hardware, not just the
+  CPU test mesh.
 """
 from __future__ import annotations
 
@@ -27,6 +31,11 @@ import os
 import sys
 import tempfile
 import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for _p in (_REPO, os.path.join(_REPO, "tests")):   # tests/: fixture_pdbbind
+    if _p not in sys.path:
+        sys.path.insert(0, _p)
 
 
 def main(argv=None):
