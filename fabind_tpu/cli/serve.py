@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--data", default=None,
                    help="dataset dir used by '--buckets auto' to measure "
                         "the complex-size distribution")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every bucket's executable before binding "
+                        "the port (first request then serves at steady-state "
+                        "latency instead of paying the ~20-60s compile)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
@@ -75,6 +79,11 @@ def main(argv=None):
                            bf16=not args.no_bf16,
                            post_optim_steps=args.post_optim_steps,
                            dp=args.dp)
+    if args.warmup:
+        print(f"warming up {len(engine.bucket_cfgs)} bucket(s)...",
+              flush=True)
+        dt = engine.warmup()
+        print(f"warmup done in {dt:.1f}s")
     serve_forever(engine, args.host, args.port)
 
 

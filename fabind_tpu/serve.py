@@ -133,6 +133,34 @@ class DockingEngine:
                 params)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
+    def warmup(self) -> float:
+        """Compile every bucket's executable now (one dummy batch each)
+        instead of on its first real request. Returns seconds spent.
+
+        Deployment use: call before binding the service port so the
+        first request of each shape bucket is served at steady-state
+        latency (DESIGN.md: first-compile is ~20-60s per bucket vs a
+        ~100 ms warm p50)."""
+        import time
+
+        import jax
+        from fabind_tpu.data.types import dummy_batch
+
+        t0 = time.perf_counter()
+        for cfg_b in self.bucket_cfgs:
+            batch = jax.jit(lambda c=cfg_b: dummy_batch(
+                c.shapes, batch_size=self.batch_size,
+                feat_dim=c.model.compound_feat_dim,
+                prot_feat_dim=c.model.protein_feat_dim))()
+            if self.bf16:
+                batch = _cast_batch_bf16(batch)
+            if self._mesh is not None:
+                from fabind_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch, self._mesh)
+            out = self._fn(cfg_b)(self.params, batch)
+            jax.block_until_ready(out[0])
+        return time.perf_counter() - t0
+
     # ------------------------------------------------------------- routing
     def _route(self, s) -> FABindConfig:
         from fabind_tpu.data.batching import SampleTooLarge

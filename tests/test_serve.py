@@ -178,3 +178,20 @@ def test_dock_screen_under_dp():
     poses = eng.dock_screen(protein, ligs)
     assert all(p.error is None and np.isfinite(p.coords).all()
                for p in poses)
+
+
+def test_warmup_precompiles_all_buckets(engine):
+    """warmup() must compile one executable per bucket and leave results
+    identical to a lazily-compiled engine's."""
+    cfg = preset("fabind", **TINY)
+    small = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
+                                max_protein=32)
+    warm = DockingEngine(cfg, buckets=[small, cfg.shapes], batch_size=2,
+                         bf16=True)
+    dt = warm.warmup()
+    assert dt >= 0 and len(warm._fns) == 2
+    raws = [make_raw(n=5, nr=20, seed=1), make_raw(n=12, nr=40, seed=2)]
+    got = warm.dock_raw(raws)
+    ref = engine.dock_raw(raws)   # module fixture: same cfg, lazily compiled
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(g.coords, r.coords, atol=1e-5)
