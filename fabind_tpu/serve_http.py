@@ -79,7 +79,8 @@ def _poses_json(poses) -> bytes:
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
-                max_inflight: int = 4) -> ThreadingHTTPServer:
+                max_inflight: int = 4,
+                max_body_bytes: int = 256 * 1024 * 1024) -> ThreadingHTTPServer:
     # engine methods are thread-safe; the semaphore only bounds how many
     # requests hold device batches in flight at once (memory, not safety)
     lock = threading.Semaphore(max_inflight)
@@ -113,6 +114,12 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > max_body_bytes:
+                    # refuse before buffering: a runaway client must not be
+                    # able to OOM the serving host
+                    return self._reply(413, json.dumps(
+                        {"error": f"body {n} bytes exceeds limit "
+                                  f"{max_body_bytes}"}).encode())
                 body = self.rfile.read(n)
                 if self.path == "/dock_raw":
                     raws = _group_npz(body)

@@ -76,3 +76,23 @@ def test_http_dock_raw_screen_and_health():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_rejects_oversized_body():
+    cfg = preset("fabind", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    srv = make_server(eng, "127.0.0.1", 0, max_body_bytes=1024)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        try:
+            _post(f"http://127.0.0.1:{port}/dock_raw", b"x" * 2048,
+                  "application/octet-stream")
+            raise AssertionError("expected 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+            assert "exceeds limit" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
