@@ -170,6 +170,18 @@ def featurize_mol(mol) -> Dict[str, np.ndarray]:
             "las_mask": las.astype(bool), "smiles": smiles}
 
 
+def canonical_renumber(mol):
+    """Renumber a mol's atoms to canonical-SMILES output order — the atom
+    convention all released checkpoints were trained with
+    (inference_mol_utils.py:122-133). Conformers are reordered too."""
+    _require_rdkit()
+    from rdkit import Chem
+    Chem.MolToSmiles(mol)  # populates _smilesAtomOutputOrder
+    order = list(mol.GetPropsAsDict(
+        includePrivate=True, includeComputed=True)["_smilesAtomOutputOrder"])
+    return Chem.RenumberAtoms(mol, order)
+
+
 def read_smiles(smiles: str):
     """Canonicalize and renumber so atom order == canonical-SMILES order
     (inference_mol_utils.py:122-133)."""
@@ -178,10 +190,7 @@ def read_smiles(smiles: str):
     mol = Chem.MolFromSmiles(smiles)
     if mol is None:
         raise ValueError(f"bad smiles {smiles!r}")
-    Chem.MolToSmiles(mol)  # populates _smilesAtomOutputOrder
-    order = list(mol.GetPropsAsDict(
-        includePrivate=True, includeComputed=True)["_smilesAtomOutputOrder"])
-    return Chem.RenumberAtoms(mol, order)
+    return canonical_renumber(mol)
 
 
 def generate_conformation(mol, seed: Optional[int] = None):
@@ -353,11 +362,7 @@ def write_renumbered_sdf(to_file: str, sdf_path: str,
     write it (dataset-construction helper, feature_utils.py:55-63)."""
     _require_rdkit()
     from rdkit import Chem
-    mol = mol_from_sdf(sdf_path, mol2_path)
-    Chem.MolToSmiles(mol)
-    order = list(mol.GetPropsAsDict(
-        includePrivate=True, includeComputed=True)["_smilesAtomOutputOrder"])
-    mol = Chem.RenumberAtoms(mol, order)
+    mol = canonical_renumber(mol_from_sdf(sdf_path, mol2_path))
     w = Chem.SDWriter(to_file)
     w.write(mol)
     w.close()

@@ -40,7 +40,7 @@ class Pose:
     confidence: float                  # FABind+ confidence head (0.0 for base)
     pocket_coords: Optional[np.ndarray] = None   # [n_pocket, 3] (flexible)
     pocket_residues: Optional[np.ndarray] = None  # residue indices (flexible)
-    mol: object = None                 # rdkit mol (dock_smiles only)
+    mol: object = None                 # rdkit mol (dock_smiles/dock_mols)
     error: Optional[str] = None        # set when the request was skipped
 
 
@@ -362,6 +362,57 @@ class DockingEngine:
                     confidence=float(scores[best[b], b]))
         return results   # type: ignore[return-value]
 
+    def _protein_raw(self, pdb_path: str):
+        """(structure, esm) for a PDB path, cached for the engine's life."""
+        from fabind_tpu.data import featurize as F
+        if pdb_path not in self._protein_cache:
+            with self._lock:
+                if pdb_path not in self._protein_cache:
+                    struct = F.extract_protein_structure(pdb_path)
+                    esm = F.extract_esm_feature(
+                        struct["seq"], device=self.esm_device)
+                    self._protein_cache[pdb_path] = (struct, esm)
+        return self._protein_cache[pdb_path]
+
+    def _raw_from_mol(self, mol, pdb_path: str) -> Dict:
+        """Featurized request dict from a canonical-order RDKit mol with a
+        conformer."""
+        from fabind_tpu.data import featurize as F
+        feat = F.featurize_mol(mol)
+        struct, esm = self._protein_raw(pdb_path)
+        return {
+            "protein_xyz": struct["coords"][:, 1],
+            "protein_full_coords": struct["coords"],
+            "esm_feat": esm,
+            "lig_coords": feat["coords"],
+            "lig_feats": feat["feats"],
+            "bond_edges": feat["bond_edges"],
+            "las_mask": feat["las_mask"],
+            "rdkit_coords": feat["coords"],
+            "_mol": mol,
+        }
+
+    def dock_mols(self, requests: Sequence[Tuple[object, str]]) -> List[Pose]:
+        """Dock (rdkit_mol, pdb_path) pairs where the mol already carries a
+        3D conformer (the SDF-ligand workflow: `Chem.MolFromMolFile` /
+        featurize.mol_from_sdf). Atoms are renumbered to canonical-SMILES
+        output order first (the reference's convention,
+        inference_mol_utils.py:122-133), and the mol's own conformer is the
+        LAS reference + init pose — no new conformer is generated."""
+        from fabind_tpu.data import featurize as F
+
+        raws: List[Dict] = []
+        for mol, pdb_path in requests:
+            try:
+                if mol.GetNumConformers() == 0:
+                    raise ValueError("mol has no conformer; use dock_smiles "
+                                     "for 2D inputs")
+                raws.append(self._raw_from_mol(
+                    F.canonical_renumber(mol), pdb_path))
+            except Exception as e:
+                raws.append({"_error": f"{type(e).__name__}: {e}"})
+        return self._finish_mol_requests(raws)
+
     def dock_smiles(self, requests: Sequence[Tuple[str, str]]) -> List[Pose]:
         """Dock (smiles, pdb_path) pairs: the custom-complex pipeline
         (reference FABind/README.md:95-125) as one call. Proteins are
@@ -373,29 +424,14 @@ class DockingEngine:
             try:
                 mol = F.read_smiles(smiles)
                 mol = F.generate_conformation(mol)
-                feat = F.featurize_mol(mol)
-                if pdb_path not in self._protein_cache:
-                    with self._lock:
-                        if pdb_path not in self._protein_cache:
-                            struct = F.extract_protein_structure(pdb_path)
-                            esm = F.extract_esm_feature(
-                                struct["seq"], device=self.esm_device)
-                            self._protein_cache[pdb_path] = (struct, esm)
-                struct, esm = self._protein_cache[pdb_path]
-                raws.append({
-                    "protein_xyz": struct["coords"][:, 1],
-                    "protein_full_coords": struct["coords"],
-                    "esm_feat": esm,
-                    "lig_coords": feat["coords"],
-                    "lig_feats": feat["feats"],
-                    "bond_edges": feat["bond_edges"],
-                    "las_mask": feat["las_mask"],
-                    "rdkit_coords": feat["coords"],
-                    "_mol": mol,
-                })
+                raws.append(self._raw_from_mol(mol, pdb_path))
             except Exception as e:
                 raws.append({"_error": f"{type(e).__name__}: {e}"})
+        return self._finish_mol_requests(raws)
 
+    def _finish_mol_requests(self, raws: List[Dict]) -> List[Pose]:
+        """Route featurized dicts through dock_raw, splicing featurization
+        errors back into request order as error poses."""
         ok_idx = [i for i, r in enumerate(raws) if "_error" not in r]
         poses = self.dock_raw([{k: v for k, v in raws[i].items()
                                 if not k.startswith("_")} for i in ok_idx])

@@ -123,6 +123,42 @@ def test_dock_smiles_skip_and_continue(engine, monkeypatch):
     assert poses[1].error is not None and "unparseable" in poses[1].error
 
 
+def test_dock_mols_conformer_required_and_renumber(engine, monkeypatch):
+    """SDF workflow: mols with a conformer dock (after canonical
+    renumbering); 2D mols come back as error poses."""
+    import fabind_tpu.data.featurize as F
+
+    raw = make_raw(n=5, nr=20, seed=1)
+    renumbered = []
+
+    class FakeMol:
+        def __init__(self, n_conf):
+            self._n = n_conf
+
+        def GetNumConformers(self):
+            return self._n
+
+    monkeypatch.setattr(F, "canonical_renumber",
+                        lambda m: renumbered.append(m) or m)
+    monkeypatch.setattr(F, "featurize_mol", lambda m: {
+        "coords": raw["lig_coords"], "feats": raw["lig_feats"],
+        "bond_edges": raw["bond_edges"], "las_mask": raw["las_mask"],
+        "smiles": "CCO"})
+    monkeypatch.setattr(F, "extract_protein_structure", lambda p: {
+        "seq": "A" * 20,
+        "coords": np.stack([raw["protein_xyz"]] * 4, axis=1)})
+    monkeypatch.setattr(F, "extract_esm_feature",
+                        lambda seq, device="cpu": raw["esm_feat"])
+
+    good, flat = FakeMol(1), FakeMol(0)
+    poses = engine.dock_mols([(good, "y.pdb"), (flat, "y.pdb")])
+    assert len(poses) == 2
+    assert poses[0].error is None and poses[0].coords.shape == (5, 3)
+    assert poses[0].mol is good
+    assert renumbered == [good]          # 3D mol went through renumbering
+    assert poses[1].error is not None and "no conformer" in poses[1].error
+
+
 def test_dock_raw_dp_matches_single_device():
     """dp=8 engine (1-D mesh over the 8 virtual CPU devices, params
     replicated, batch sharded) must reproduce the dp=1 engine's poses —
