@@ -26,19 +26,6 @@ import jax
 import numpy as np
 
 
-def _merge_params(init, restored):
-    """Overlay restored leaves onto the init tree (torch load_state_dict
-    strict=False semantics, test_sampling_fabind.py:114): keys absent from
-    the checkpoint — the fresh confidence head — keep their init values."""
-    if isinstance(init, dict):
-        out = {}
-        for k, v in init.items():
-            if isinstance(restored, dict) and k in restored:
-                out[k] = _merge_params(v, restored[k])
-            else:
-                out[k] = v
-        return out
-    return restored if restored is not None else init
 
 
 def main(argv=None):
@@ -137,7 +124,9 @@ def main(argv=None):
         restored = checkpoints.restore_state(args.init_ckpt, reg_state)
         if restored is None:
             raise SystemExit(f"no checkpoint found in {args.init_ckpt}")
-        params = _merge_params(params, restored.params)
+        # strict=False overlay: entries the regression ckpt lacks (the fresh
+        # confidence head) keep their init values
+        params = checkpoints.overlay(params, restored.params)
         logger.log_message(
             f"initialized backbone from {args.init_ckpt} "
             f"(step {int(restored.step)})")

@@ -130,7 +130,7 @@ def save_params(path: str, params: Any) -> str:
     return path
 
 
-def _overlay(template: Any, restored: Any) -> Any:
+def overlay(template: Any, restored: Any) -> Any:
     """Recursively overlay restored params onto a template: entries missing
     from the checkpoint keep their template (fresh-init) values — the
     strict=False torch load_state_dict semantics the reference relies on for
@@ -139,11 +139,14 @@ def _overlay(template: Any, restored: Any) -> Any:
         out = {}
         for k, v in template.items():
             if isinstance(restored, dict) and k in restored:
-                out[k] = _overlay(v, restored[k])
+                out[k] = overlay(v, restored[k])
             else:
                 out[k] = v
         return out
     return restored if restored is not None else template
+
+
+_overlay = overlay
 
 
 def restore_params(path: str, template: Any) -> Any:

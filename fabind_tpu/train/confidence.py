@@ -5,8 +5,9 @@ utils/training_confidence.py:13-349: the regression checkpoint is frozen
 except the confidence head (`ranking_*` params, train_confidence.py:163-166);
 each complex is duplicated num_copies times (confidence_dataloader.py:27-39)
 and run through the *stochastic* forward (dropout active at inference —
-sampling mode); a pairwise ranking loss orders the copies by their symmetric
-RMSD.
+sampling mode); a pairwise ranking loss orders the copies by their plain
+(non-symmetric) RMSD, exactly like the reference
+(training_confidence.py:41-43 uses scatter_mean(sd).sqrt()).
 
 TPU design: instead of batch_size=1 with host-side copy duplication, copies
 live on a leading axis folded into the batch: [B, num_copies, ...] with the

@@ -130,14 +130,35 @@ def convert_checkpoint(path: str, template: Any):
                     "n_torch": len(sd)}
 
 
-def export_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
-    """Inverse mapping (flax -> torch naming), for round-trip tests."""
+# base-FABind modules that are nn.Sequential in torch (children named 0/2):
+# egnn.py:40-60 edge/node/coord/att MLPs, model.py:67 distmap_mlp. Everything
+# else (Transition_diff_out_dim, all FABind+ MLP classes) uses named
+# linear1/linear2 attributes, so those paths export unchanged.
+_SEQUENTIAL_PARENTS = ("edge_mlp", "node_mlp", "coord_mlp", "att_mlp",
+                       "distmap_mlp")
+
+
+def export_torch_state_dict(params: Any, is_plus: bool = False
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse mapping (flax -> torch naming), for round-trip tests and for
+    shipping fabind_tpu-trained weights back to the torch reference. For base
+    checkpoints (is_plus=False) the Sequential-index renames are inverted
+    (linear1/linear2 -> 0/2 under the Sequential MLPs, mlp_0/mlp_3 ->
+    mlp.0/mlp.3); FABind+ torch MLPs use named linear1/linear2 attributes, so
+    is_plus=True leaves them as-is."""
     flat = _flatten(params)
     sd = {}
     inv = {"linear1": "0", "linear2": "2"}
     for path, arr in flat:
         arr = np.asarray(arr)
         parts = list(path)
+        if not is_plus:
+            parts = [inv[c] if c in inv and i > 0
+                     and parts[i - 1] in _SEQUENTIAL_PARENTS else c
+                     for i, c in enumerate(parts)]
+            parts = [c2 for c in parts
+                     for c2 in (("mlp", c[4:]) if c in ("mlp_0", "mlp_3")
+                                else (c,))]
         if parts[-1] == "linear_kv_kernel":
             sd[".".join(parts[:-1] + ["linear_kv", "weight"])] = arr.T
             continue

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from fabind_tpu.config import ModelConfig, TrainConfig
+from fabind_tpu.ops import geometry
 
 Array = jax.Array
 
@@ -135,6 +136,10 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         contact_distill = jnp.zeros(())
         dismap_total = w * contact_by_pred
     else:
+        # 'npair' (the reference default) and 'ori' train identically: the
+        # reference's loop only special-cases 'wodm'
+        # (FABind_plus/fabind/utils/training.py:64-69,88-97), so this shared
+        # branch is reference-exact for both.
         dismap_total = w * contact_loss + w * contact_by_pred + wd * contact_distill
 
     # ---- pocket classification ----
@@ -177,15 +182,9 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
              pocket_coord_loss + radius_loss + flex_pocket_loss)
 
     # metrics mirroring the reference epoch stats (main_fabind.py:404-417)
-    sd = jnp.sum((jax.lax.stop_gradient(out.coords) - batch.lig_coords) ** 2,
-                 axis=-1)
-    m = out.lig_mask.astype(sd.dtype)
-    rmsd = jnp.sqrt(jnp.sum(sd * m, 1) / jnp.maximum(jnp.sum(m, 1), 1.0))
-    cm_p = jnp.sum(out.coords * m[..., None], 1) / jnp.maximum(
-        jnp.sum(m, 1), 1.0)[:, None]
-    cm_t = jnp.sum(batch.lig_coords * m[..., None], 1) / jnp.maximum(
-        jnp.sum(m, 1), 1.0)[:, None]
-    centroid = jnp.linalg.norm(cm_p - cm_t, axis=-1)
+    coords = jax.lax.stop_gradient(out.coords)
+    rmsd = geometry.rmsd(coords, batch.lig_coords, out.lig_mask)
+    centroid = geometry.centroid_dist(coords, batch.lig_coords, out.lig_mask)
 
     metrics = {
         "loss": total,
@@ -202,8 +201,11 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         "rmsd_lt5": row_mean((rmsd < 5.0).astype(jnp.float32)),
         "centroid_dis_mean": row_mean(centroid),
         "use_stage2": out.use_stage2.astype(jnp.float32),
-        "keep_less_5": jnp.sum(out.keep_less_5.astype(jnp.float32)),
-        "pocket_overflow": jnp.sum(out.pocket_overflow.astype(jnp.float32)),
+        # counters, not means — but padding duplicates must not inflate them
+        # (pocket_overflow is the bucket-overflow sentinel; see MEMORY)
+        "keep_less_5": jnp.sum(out.keep_less_5.astype(jnp.float32) * svf),
+        "pocket_overflow": jnp.sum(
+            out.pocket_overflow.astype(jnp.float32) * svf),
     }
     return total, metrics
 

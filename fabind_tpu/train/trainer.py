@@ -53,13 +53,20 @@ def make_train_step(model: FABind, cfg: FABindConfig):
     bf16 = cfg.train.bf16
 
     def loss_fn(params, batch, key):
-        p = params
+        p, b = params, batch
         if bf16:
-            p = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, params)
+            # mixed precision with fp32 master weights: params AND batch
+            # floats are cast so every matmul runs bf16 (casting params only
+            # is a no-op — fp32 inputs re-promote each matmul to fp32; the
+            # serving path, serve.py _cast_batch_bf16, casts both for the
+            # same reason). Losses read the original fp32 batch.
+            cast = lambda x: (x.astype(jnp.bfloat16)
+                              if hasattr(x, "dtype") and x.dtype == jnp.float32
+                              else x)
+            p = jax.tree_util.tree_map(cast, params)
+            b = jax.tree_util.tree_map(cast, batch)
         dk, sk = jax.random.split(key)
-        out = model.apply({"params": p}, batch, train=True,
+        out = model.apply({"params": p}, b, train=True,
                           rngs={"dropout": dk, "sample": sk})
         if bf16:
             out = jax.tree_util.tree_map(
@@ -83,11 +90,21 @@ def make_train_step(model: FABind, cfg: FABindConfig):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree_util.tree_map(
             lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates)
+        # a skipped batch must leave the optimizer untouched too, like the
+        # reference's host-side `continue`: otherwise Adam's moments decay
+        # and its bias-correction count advances on a zero gradient (and
+        # under MultiSteps the NaN micro-batch would be averaged into the
+        # accumulation window as zeros)
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old),
+            opt_state, state.opt_state)
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
+        # report 0 for every metric on skipped-NaN steps: the raw values are
+        # NaN exactly then, and one such step would poison any averaged
+        # logging window (skipped_nan carries the signal instead)
+        metrics = {k: jnp.where(ok, v, jnp.zeros_like(v))
+                   for k, v in metrics.items()}
         metrics["skipped_nan"] = (~ok).astype(jnp.float32)
-        # report 0 on skipped-NaN steps: the raw norm is NaN/Inf exactly
-        # then, and one such step would poison any averaged logging window
         metrics["grad_norm"] = jnp.where(ok, grad_norm, 0.0)
         return TrainState(step=state.step + 1, params=params,
                           opt_state=opt_state, rng=state.rng), metrics

@@ -53,6 +53,33 @@ def test_train_step_skips_nan_batch(train_setup):
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
                                state.params, state2.params)
     assert max(jax.tree_util.tree_leaves(d)) == 0.0
+    # a skipped batch leaves the OPTIMIZER untouched too (the reference's
+    # host-side `continue`): Adam's count must not advance, moments must not
+    # decay toward zero on the zeroed gradient
+    d_opt = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                   state.opt_state, state2.opt_state)
+    assert max(jax.tree_util.tree_leaves(d_opt)) == 0.0
+    # and every reported metric is sanitized (one NaN step must not poison
+    # an averaged logging window)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_train_step_bf16_computes_in_bf16(train_setup):
+    """cfg.train.bf16 must actually change the compute dtype: with the batch
+    cast included, the bf16 loss differs from the fp32 loss (params-only
+    casting was a silent no-op — fp32 inputs re-promote every matmul)."""
+    cfg, batch, model, state, _ = train_setup
+    cfg16 = cfg.replace(train=dataclasses.replace(cfg.train, bf16=True))
+    step16 = jax.jit(make_train_step(model, cfg16))
+    step32 = jax.jit(make_train_step(model, cfg))
+    _, m16 = step16(state, batch)
+    _, m32 = step32(state, batch)
+    l16, l32 = float(m16["loss"]), float(m32["loss"])
+    assert np.isfinite(l16) and np.isfinite(l32)
+    assert l16 != l32, "bf16 step bitwise-equal to fp32: the cast is a no-op"
+    assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.1, \
+        "bf16 loss diverges >10% from fp32 at tiny scale"
 
 
 def test_sharded_train_step_8dev():
@@ -83,13 +110,12 @@ def test_convert_round_trip():
     params = variables["params"]
     sd = export_torch_state_dict(params)
     assert any("linear_kv.weight" in k for k in sd)
-    # exercise the torch Sequential naming path (.0/.2 -> linear1/linear2)
-    # used by the real released checkpoints (egnn.py:40-60)
-    sd = {k.replace(".linear1.", ".0.").replace(".linear2.", ".2.")
-          if any(t in k for t in ("edge_mlp", "node_mlp", "coord_mlp",
-                                  "distmap_mlp")) else k: v
-          for k, v in sd.items()}
+    # the exporter itself must emit the torch Sequential naming (.0/.2)
+    # used by the real released base checkpoints (egnn.py:40-60)
     assert any(k.endswith("edge_mlp.0.weight") for k in sd)
+    assert not any(".linear1." in k and any(
+        t in k for t in ("edge_mlp", "node_mlp", "coord_mlp", "distmap_mlp"))
+        for k in sd)
     back, missing, unused = convert_state_dict(sd, params)
     assert not missing, missing
     assert not unused, unused
