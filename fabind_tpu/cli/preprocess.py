@@ -177,25 +177,45 @@ _NUM_TO_LETTER = {4: "C", 3: "D", 15: "S", 5: "Q", 11: "K", 9: "I",
 
 def run_esm_lmdb_mode(args):
     """protein_1d_3d.lmdb -> esm2_t33_650M_UR50D.lmdb, the reference's
-    offline embedding pass (tools/generate_esm2_t33.py:25-53)."""
+    offline embedding pass (tools/generate_esm2_t33.py:25-53) — here
+    batched (and, with --esm-dp, sharded over a device mesh) instead of
+    the reference's strictly sequential single-GPU loop."""
     import pickle
 
-    from fabind_tpu.data.featurize import extract_esm_feature
+    from fabind_tpu.data.featurize import extract_esm_features
     from fabind_tpu.data.kv import open_kv
     p = os.path.join(args.lmdb, "dataset", "processed")
     src = open_kv(os.path.join(p, "protein_1d_3d.lmdb"), readonly=True)
     dst = open_kv(os.path.join(p, "esm2_t33_650M_UR50D.lmdb"),
                   readonly=False, map_size=1024 ** 4)
     n = 0
+    # flush in chunks of a few forwards' worth so bucketing has material
+    # to batch while memory stays bounded
+    chunk_rows = max(1, args.esm_batch * max(args.esm_dp, 1)) * 4
     with src.begin(write=False) as txn, dst.begin(write=True) as out:
+        pending = []
+
+        def flush():
+            nonlocal n
+            if not pending:
+                return
+            embs = extract_esm_features(
+                [s for _, s in pending], device=args.esm_device,
+                batch_size=args.esm_batch, dp=args.esm_dp)
+            for (key, _), emb in zip(pending, embs):
+                out.put(key, pickle.dumps(emb))
+                n += 1
+                if n % 100 == 0:
+                    _log(f"{n} proteins embedded")
+            pending.clear()
+
         for key, value in txn.cursor():
             seq_ids = pickle.loads(value)[1].tolist()
-            seq = "".join(_NUM_TO_LETTER[a] for a in seq_ids)
-            emb = extract_esm_feature(seq, device=args.esm_device)
-            out.put(key, pickle.dumps(emb))
-            n += 1
-            if n % 100 == 0:
-                _log(f"{n} proteins embedded")
+            pending.append(
+                (key, "".join(_NUM_TO_LETTER[a] for a in seq_ids)))
+            if len(pending) >= chunk_rows:
+                flush()
+        flush()
     src.close()
     dst.close()
     _log(f"wrote {n} embeddings -> {p}/esm2_t33_650M_UR50D.lmdb")
@@ -207,7 +227,7 @@ def run_esm_mode(args):
         return run_esm_lmdb_mode(args)
     if not (args.seqs and args.out):
         raise SystemExit("esm mode needs --seqs AND --out (or --lmdb)")
-    from fabind_tpu.data.featurize import extract_esm_feature
+    from fabind_tpu.data.featurize import extract_esm_features
     os.makedirs(args.out, exist_ok=True)
     with open(args.seqs) as f:
         entries = []
@@ -223,8 +243,10 @@ def run_esm_mode(args):
                 parts.append(line)
         if name:
             entries.append((name, "".join(parts)))
-    for name, seq in entries:
-        emb = extract_esm_feature(seq, device=args.esm_device)
+    embs = extract_esm_features([s for _, s in entries],
+                                device=args.esm_device,
+                                batch_size=args.esm_batch, dp=args.esm_dp)
+    for (name, _), emb in zip(entries, embs):
         np.save(os.path.join(args.out, f"{name}.npy"), emb)
         _log(f"{name}: {emb.shape}")
 
@@ -263,6 +285,12 @@ def main(argv=None):
                          "esm2_t33_650M_UR50D.lmdb instead of FASTA->npy")
     pe.add_argument("--esm-device", default="cpu",
                     help="'jax' runs the TPU-native flax ESM2 encoder")
+    pe.add_argument("--esm-batch", type=int, default=8,
+                    help="sequences per device per forward (jax device "
+                         "only; torch devices embed one at a time)")
+    pe.add_argument("--esm-dp", type=int, default=1,
+                    help="shard each embedding batch over this many "
+                         "devices (jax device only)")
 
     args = p.parse_args(argv)
     if args.mode == "inference":

@@ -481,6 +481,40 @@ def extract_esm_feature(seq: str, model_name: str =
     return out.cpu().numpy().astype(np.float32)
 
 
+def extract_esm_features(seqs, model_name: str =
+                         "facebook/esm2_t33_650M_UR50D",
+                         device: str = "cpu", batch_size: int = 8,
+                         dp: int = 1):
+    """Batched extract_esm_feature over many sequences. With device="jax"
+    the flax encoder runs batch_size sequences per device per forward and,
+    with dp>1, shards the batch over a dp-device mesh (offline embedding is
+    the heaviest preprocessing compute — a 650M encoder over every
+    protein); the reference's pass is strictly sequential on one GPU
+    (tools/generate_esm2_t33.py:25-53). Torch devices fall back to the
+    per-sequence path."""
+    if device != "jax":
+        return [extract_esm_feature(s, model_name=model_name, device=device)
+                for s in seqs]
+    key = (model_name, "jax")
+    if key not in _ESM_CACHE:
+        from transformers import EsmModel
+
+        from fabind_tpu.models.esm2 import esm2_from_torch
+        tm = EsmModel.from_pretrained(model_name).eval()
+        _ESM_CACHE[key] = esm2_from_torch(tm)
+    model, params = _ESM_CACHE[key]
+    from fabind_tpu.models.esm2 import embed_sequences
+    mesh = None
+    if dp > 1:
+        mkey = (key, "mesh", dp)
+        if mkey not in _ESM_CACHE:   # stable mesh identity across calls
+            from fabind_tpu.parallel.mesh import make_mesh
+            _ESM_CACHE[mkey] = make_mesh(dp)
+        mesh = _ESM_CACHE[mkey]
+    return embed_sequences(model, params, seqs,
+                           batch_size=batch_size, mesh=mesh)
+
+
 def compound_pair_dis_distribution(coords: np.ndarray,
                                    las_mask: Optional[np.ndarray] = None
                                    ) -> np.ndarray:

@@ -231,33 +231,74 @@ _DEVICE_PARAMS: dict = {}
 
 def embed_sequences(model: Esm2Model, params, seqs: List[str],
                     pad_multiple: int = 128,
-                    dtype=jnp.float32) -> List[np.ndarray]:
+                    dtype=jnp.float32,
+                    batch_size: int = 1,
+                    mesh=None) -> List[np.ndarray]:
     """Batch-embed sequences on the available accelerator; returns per-seq
     [len, hidden] arrays with <cls>/<eos> stripped (generate_esm2_t33.py:
     40-46 takes representations[1:len+1]). Sequences are bucketed to
     pad_multiple lengths so jit re-specializes once per bucket.
 
+    batch_size sequences per device run in one forward (exact: padded rows
+    are excluded by the attention mask, so batching never changes a
+    sequence's embedding beyond reduction-order noise); the tail of a bucket
+    is padded by repeating its last row — one executable per bucket length.
+    mesh (an optional jax.sharding.Mesh) additionally shards the batch's
+    leading axis over the mesh (dp over ICI, params replicated): the
+    offline embedding pass — the heaviest compute in preprocessing, a 650M
+    encoder over every protein — scales across chips with no code change
+    at the call site. Rows per forward = batch_size * mesh.size.
+
     The jitted forward is module-level (flax modules hash structurally, so
     every call with the same config shares executables) and the converted
-    ~2.6GB param tree is cast + device_put once per (id(params), dtype) —
-    a per-call cast/upload used to cost more than the forward itself."""
+    ~2.6GB param tree is cast + device_put once per (id(params), dtype,
+    mesh) — a per-call cast/upload used to cost more than the forward
+    itself."""
     # keyed by identity; the cached entry keeps a strong reference to the
     # source tree so its id() cannot be recycled while cached
-    key = (id(params), jnp.dtype(dtype).name)
+    key = (id(params), jnp.dtype(dtype).name, id(mesh) if mesh else None)
     if key not in _DEVICE_PARAMS:
         _DEVICE_PARAMS.clear()   # hold at most one resident tree
-        _DEVICE_PARAMS[key] = (params, jax.tree_util.tree_map(
+        cast = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype)
             if jnp.asarray(x).dtype == jnp.float32 else jnp.asarray(x),
-            params))
-    params = _DEVICE_PARAMS[key][1]
+            params)
+        if mesh is not None:
+            from fabind_tpu.parallel.mesh import replicate
+            cast = replicate(cast, mesh)
+        _DEVICE_PARAMS[key] = (params, mesh, cast)
+    dparams = _DEVICE_PARAMS[key][-1]
     run = functools.partial(_esm_forward, model)
-    out = []
-    for seq in seqs:
-        L = len(seq) + 2
-        pad = ((L + pad_multiple - 1) // pad_multiple) * pad_multiple
-        ids = tokenize(seq, pad_to=pad)[None]
-        mask = (ids != PAD_ID).astype(np.int32)
-        h = run(params, jnp.asarray(ids), jnp.asarray(mask))
-        out.append(np.asarray(h[0, 1:len(seq) + 1], np.float32))
+
+    sharding = None
+    rows = batch_size
+    if mesh is not None:
+        from fabind_tpu.parallel.mesh import batch_sharding
+        sharding = batch_sharding(mesh)
+        rows = batch_size * mesh.size
+
+    # bucket by padded length; results land back at original positions
+    buckets: dict = {}
+    for i, seq in enumerate(seqs):
+        pad = -(-(len(seq) + 2) // pad_multiple) * pad_multiple
+        buckets.setdefault(pad, []).append(i)
+
+    out: List = [None] * len(seqs)
+    for pad in sorted(buckets):
+        idxs = buckets[pad]
+        for c0 in range(0, len(idxs), rows):
+            chunk = idxs[c0:c0 + rows]
+            ids = np.stack([tokenize(seqs[i], pad_to=pad) for i in chunk])
+            if len(chunk) < rows:
+                # repeat the last row so every chunk hits one executable
+                ids = np.concatenate(
+                    [ids, np.repeat(ids[-1:], rows - len(chunk), 0)], 0)
+            mask = (ids != PAD_ID).astype(np.int32)
+            ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+            if sharding is not None:
+                ids_j = jax.device_put(ids_j, sharding)
+                mask_j = jax.device_put(mask_j, sharding)
+            h = np.asarray(run(dparams, ids_j, mask_j), np.float32)
+            for row, i in enumerate(chunk):
+                out[i] = h[row, 1:len(seqs[i]) + 1]
     return out

@@ -118,3 +118,80 @@ def test_tokenizer_matches_hf_vocab_order():
     assert ESM_VOCAB.index("<mask>") == 32
     ids = tokenize("LA")
     np.testing.assert_array_equal(ids, [0, 4, 5, 2])
+
+
+def test_embed_sequences_batched_matches_single():
+    """Batching is exact: padded rows are masked out of attention and
+    token-dropout rescale, so batch_size>1 (with a repeated-tail chunk)
+    reproduces the per-sequence path."""
+    tm = _torch_esm()
+    fm, params = esm2_from_torch(tm)
+    seqs = ["LAGVSE", "KQNFAMWYHD", "AC", "GG", "MKV", "WYHDKQ", "A"]
+    ref = embed_sequences(fm, params, seqs, pad_multiple=8)
+    out = embed_sequences(fm, params, seqs, pad_multiple=8, batch_size=4)
+    assert [o.shape for o in out] == [r.shape for r in ref]
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(r, o, atol=1e-5)
+
+
+def test_preprocess_esm_lmdb_mode_jax(tmp_path, monkeypatch):
+    """End-to-end `preprocess esm --lmdb` on the jax device: reads
+    protein_1d_3d.lmdb, embeds batched (batch=2, dp=2) through the flax
+    encoder, and writes esm2_t33_650M_UR50D.lmdb matching the
+    per-sequence path exactly."""
+    import pickle
+
+    import torch
+
+    import fabind_tpu.data.featurize as fz
+    from fabind_tpu.cli import preprocess as pp
+    from fabind_tpu.data.kv import open_kv
+
+    tm = _torch_esm()
+    fm, params = esm2_from_torch(tm)
+    monkeypatch.setitem(
+        fz._ESM_CACHE, ("facebook/esm2_t33_650M_UR50D", "jax"), (fm, params))
+
+    p = tmp_path / "dataset" / "processed"
+    p.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    codes = np.array(sorted(pp._NUM_TO_LETTER))
+    seqs = {}
+    src = open_kv(str(p / "protein_1d_3d.lmdb"), readonly=False,
+                  map_size=1 << 24)
+    with src.begin(write=True) as txn:
+        for i, L in enumerate([7, 13, 5, 13, 9]):
+            ids = codes[rng.integers(0, len(codes), L)]
+            seqs[f"p{i}"] = "".join(pp._NUM_TO_LETTER[c] for c in ids)
+            txn.put(f"p{i}".encode(),
+                    pickle.dumps((torch.zeros(L, 3), torch.from_numpy(ids))))
+    src.close()
+
+    pp.main(["esm", "--lmdb", str(tmp_path), "--esm-device", "jax",
+             "--esm-batch", "2", "--esm-dp", "2"])
+
+    out = open_kv(str(p / "esm2_t33_650M_UR50D.lmdb"), readonly=True)
+    with out.begin(write=False) as txn:
+        got = {k.decode(): pickle.loads(v) for k, v in txn.cursor()}
+    out.close()
+    assert sorted(got) == sorted(seqs)
+    for k, s in seqs.items():
+        ref = embed_sequences(fm, params, [s])[0]
+        assert got[k].shape == ref.shape
+        np.testing.assert_allclose(got[k], ref, atol=2e-5)
+
+
+def test_embed_sequences_mesh_dp():
+    """dp-sharded offline embedding over the 8-virtual-device mesh matches
+    single-device output (the preprocess --esm-dp path)."""
+    from fabind_tpu.parallel.mesh import make_mesh
+    tm = _torch_esm()
+    fm, params = esm2_from_torch(tm)
+    seqs = ["LAGVSE", "KQNFAMWYHD", "AC", "GG", "MKV"]
+    ref = embed_sequences(fm, params, seqs, pad_multiple=8)
+    mesh = make_mesh(8)
+    out = embed_sequences(fm, params, seqs, pad_multiple=8, batch_size=1,
+                          mesh=mesh)
+    assert [o.shape for o in out] == [r.shape for r in ref]
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(r, o, atol=1e-5)
