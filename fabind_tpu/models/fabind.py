@@ -409,14 +409,12 @@ class FABind(nn.Module):
                 confidence, ctx_overflow, pkt_coords_out)
 
     # ------------------------------------------------------------- inference
-    def inference(self, batch, center_override: Optional[Array] = None,
-                  deterministic: bool = True) -> Tuple[Array, Array]:
-        """Predicted-pocket inference (model.py:371-580): rounded-sigmoid
-        pocket center with no-random-gumbel fallback, predicted crop, docking.
-
-        center_override feeds host-side DBSCAN cluster centers (FABind+
-        sampling, model.py:482-502). Returns (coords [B,Nc,3], confidence [B]).
-        """
+    def _infer(self, batch, center_override: Optional[Array],
+               deterministic: bool):
+        """Shared predicted-pocket inference core (model.py:371-580):
+        rounded-sigmoid pocket center with no-random-gumbel fallback,
+        predicted crop, docking. Returns (lig_coords, pkt_coords, pkt_idx,
+        pkt_mask, confidence, pocket_overflow)."""
         cfg = self.cfg
         compound_out, protein_out, cls_logits, radius_pred = \
             self._pocket_pred(batch, deterministic)
@@ -425,11 +423,34 @@ class FABind(nn.Module):
         if center_override is not None:
             center = center_override
         radius = self._crop_radius(radius_pred, batch.batch_size)
-        idx, mask, _, _ = self._predicted_crop(center, radius, batch)
-        coords, _, _, _, _, confidence, _, _ = self._dock(
+        idx, mask, _, overflow = self._predicted_crop(center, radius, batch)
+        coords, _, _, _, _, confidence, _, pkt_coords = self._dock(
             batch, compound_out, protein_out, idx, mask,
             jnp.asarray(True), deterministic)
+        return coords, pkt_coords, idx, mask, confidence, overflow
+
+    def inference(self, batch, center_override: Optional[Array] = None,
+                  deterministic: bool = True) -> Tuple[Array, Array]:
+        """Predicted-pocket inference (model.py:371-580).
+
+        center_override feeds host-side DBSCAN cluster centers (FABind+
+        sampling, model.py:482-502). Returns (coords [B,Nc,3], confidence [B]).
+        """
+        coords, _, _, _, confidence, _ = self._infer(
+            batch, center_override, deterministic)
         return coords, confidence
+
+    def inference_diag(self, batch, center_override: Optional[Array] = None,
+                       deterministic: bool = True
+                       ) -> Tuple[Array, Array, Array]:
+        """`inference` + per-sample diagnostics: also returns
+        pocket_overflow [B] — how many predicted-keep residues were dropped
+        by the Np pocket bucket (serving surfaces this so callers can
+        re-dock with a larger bucket; see DESIGN.md 'scale-dependent
+        hazard')."""
+        coords, _, _, _, confidence, overflow = self._infer(
+            batch, center_override, deterministic)
+        return coords, confidence, overflow
 
     def inference_flexible(self, batch,
                            center_override: Optional[Array] = None,
@@ -444,19 +465,15 @@ class FABind(nn.Module):
 
         Returns (lig_coords [B,Nc,3], pkt_coords [B,Np,3], pkt_idx [B,Np],
         pkt_mask [B,Np], confidence [B])."""
-        cfg = self.cfg
-        compound_out, protein_out, cls_logits, radius_pred = \
-            self._pocket_pred(batch, deterministic)
-        center = pocket_center_rounded(cls_logits, batch.prot_xyz,
-                                       batch.prot_mask, cfg.gs_tau, cfg.gs_hard)
-        if center_override is not None:
-            center = center_override
-        radius = self._crop_radius(radius_pred, batch.batch_size)
-        idx, mask, _, _ = self._predicted_crop(center, radius, batch)
-        coords, _, _, _, _, confidence, _, pkt_coords = self._dock(
-            batch, compound_out, protein_out, idx, mask,
-            jnp.asarray(True), deterministic)
+        coords, pkt_coords, idx, mask, confidence, _ = self._infer(
+            batch, center_override, deterministic)
         return coords, pkt_coords, idx, mask, confidence
+
+    def inference_flexible_diag(self, batch,
+                                center_override: Optional[Array] = None,
+                                deterministic: bool = True):
+        """`inference_flexible` + pocket_overflow [B] (see inference_diag)."""
+        return self._infer(batch, center_override, deterministic)
 
 
 def make_model(cfg) -> FABind:

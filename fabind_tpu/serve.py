@@ -42,6 +42,9 @@ class Pose:
     pocket_residues: Optional[np.ndarray] = None  # residue indices (flexible)
     mol: object = None                 # rdkit mol (dock_smiles/dock_mols)
     error: Optional[str] = None        # set when the request was skipped
+    pocket_truncated: int = 0          # predicted-keep residues dropped by
+    #                                    the Np bucket (re-dock with a larger
+    #                                    bucket when > 0; DESIGN.md hazard)
 
 
 class DockingEngine:
@@ -186,19 +189,19 @@ class DockingEngine:
 
             def run(params, batch):
                 if flexible:
-                    lig, pkt, idx, mask, conf = model.apply(
+                    lig, pkt, idx, mask, conf, overflow = model.apply(
                         {"params": params}, batch,
-                        method="inference_flexible")
+                        method="inference_flexible_diag")
                 else:
-                    lig, conf = model.apply({"params": params}, batch,
-                                            method="inference")
+                    lig, conf, overflow = model.apply(
+                        {"params": params}, batch, method="inference_diag")
                     pkt = idx = mask = None
                 if post_steps:
                     from fabind_tpu.postopt import post_optimize_batch
                     lig, _ = post_optimize_batch(
                         lig, batch.lig_rdkit_coords, batch.las_adj,
                         batch.lig_mask, steps=post_steps)
-                return lig, conf, pkt, idx, mask
+                return lig, conf, pkt, idx, mask, overflow
 
             if self._mesh is not None:
                 # dp serving: replicated params, batch sharded on its
@@ -278,15 +281,17 @@ class DockingEngine:
 
     def _collect(self, inflight, results: List[Optional[Pose]]) -> None:
         """Fetch dispatched batches in order and unpack per-request Poses."""
-        for chunk, n_real, (lig, conf, pkt, idx, mask) in inflight:
+        for chunk, n_real, (lig, conf, pkt, idx, mask, overflow) in inflight:
             lig = np.asarray(lig, np.float32)
             conf = np.asarray(conf, np.float32)
+            overflow = np.asarray(overflow)
             for b in range(n_real):
                 pos, s = chunk[b]
                 n = int(np.asarray(s["lig_feat"]).shape[0])
                 off = np.asarray(s["coord_offset"])
                 pose = Pose(coords=lig[b, :n] + off,
-                            confidence=float(conf[b]))
+                            confidence=float(conf[b]),
+                            pocket_truncated=int(overflow[b]))
                 if pkt is not None:
                     m = np.asarray(mask[b])
                     pose.pocket_coords = (

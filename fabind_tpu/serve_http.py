@@ -70,11 +70,21 @@ def _group_npz(data: bytes) -> List[Dict[str, np.ndarray]]:
 def _poses_json(poses) -> bytes:
     out = []
     for p in poses:
-        out.append({
+        d = {
             "coords": np.asarray(p.coords, np.float32).tolist(),
             "confidence": float(p.confidence),
             "error": p.error,
-        })
+        }
+        if getattr(p, "pocket_truncated", 0):
+            # predicted pocket crop exceeded the bucket's Np — the caller
+            # should re-dock with a larger bucket (DESIGN.md hazard)
+            d["pocket_truncated"] = int(p.pocket_truncated)
+        if p.pocket_coords is not None:   # flexible-docking engines
+            d["pocket_coords"] = np.asarray(
+                p.pocket_coords, np.float32).tolist()
+            d["pocket_residues"] = np.asarray(
+                p.pocket_residues).tolist()
+        out.append(d)
     return json.dumps(out).encode()
 
 

@@ -231,3 +231,24 @@ def test_warmup_precompiles_all_buckets(engine):
     ref = engine.dock_raw(raws)   # module fixture: same cfg, lazily compiled
     for g, r in zip(got, ref):
         np.testing.assert_allclose(g.coords, r.coords, atol=1e-5)
+
+
+def test_pose_pocket_truncated_surfaced(engine):
+    """When the predicted crop keeps more residues than the bucket's Np,
+    the drop count is surfaced on the Pose (DESIGN.md scale hazard) —
+    and is zero when the pocket fits."""
+    rng = np.random.RandomState(5)
+    # one tight blob: every center derived from residue positions keeps
+    # ALL residues within the base model's fixed 20A radius, so the
+    # TINY bucket (Np=24) must truncate exactly nr-24 of them
+    def blob(nr, n=9):
+        r = make_raw(n=n, nr=nr, seed=5)
+        r["protein_xyz"] = (rng.randn(nr, 3) * 2).astype(np.float32)
+        r["lig_coords"] = (r["protein_xyz"][:3].mean(0)
+                           + rng.randn(n, 3)).astype(np.float32)
+        r["rdkit_coords"] = r["lig_coords"].copy()
+        return r
+
+    poses = engine.dock_raw([blob(30), blob(20)])
+    assert poses[0].error is None and poses[0].pocket_truncated == 6
+    assert poses[1].error is None and poses[1].pocket_truncated == 0
