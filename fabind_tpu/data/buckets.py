@@ -60,8 +60,8 @@ def _cost(sizes: np.ndarray, dims: Tuple[int, int, int]) -> float:
                          + 0.25 * (1 + lig) * (1 + prot))
 
 
-def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3
-                    ) -> List:
+def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
+                    pocket_headroom: int = 8) -> List:
     """Partition the size distribution into ≤ k buckets (exact DP over a
     sorted size key) and return a small->large list of ShapeConfig suitable
     for `Loader(buckets=...)` / `DockingEngine(buckets=...)`.
@@ -69,6 +69,13 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3
     The largest bucket always equals cfg.shapes so nothing is dropped that
     the base config would have accepted; dims are rounded up to multiples
     of 8 (sublane-friendly) and clamped to cfg.shapes.
+
+    pocket_headroom residues are added on top of each group's measured
+    pocket maximum: `measure_sizes` sees the GT-centered crop, but at
+    eval/serve time the PREDICTED-center crop can keep more residues than
+    that measurement (the scale hazard in DESIGN.md — truncation is counted
+    per sample as pocket_overflow / Pose.pocket_truncated, but headroom
+    avoids paying it on typical center excursions).
     """
     base = cfg.shapes
     fit = (sizes[:, 0] <= base.max_ligand) & (sizes[:, 2] <= base.max_protein)
@@ -89,7 +96,7 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3
         need the true running max of the tail)."""
         m = np.max(s[i:j + 1], axis=0)
         return (min(_pad8(int(m[0])), base.max_ligand),
-                min(_pad8(int(m[1])), base.max_pocket),
+                min(_pad8(int(m[1]) + pocket_headroom), base.max_pocket),
                 min(_pad8(int(m[2])), base.max_protein))
 
     # DP: best[j][g] = min cost covering first j samples with g groups

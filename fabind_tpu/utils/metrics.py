@@ -109,6 +109,7 @@ class MetricAccumulator:
         self.cls_ok = []
         self.centers_pred = []
         self.centers_true = []
+        self.overflow = []  # residues dropped by the Np bucket, per sample
         self.per_pdb = []   # (pdb, rmsd) rows when update() receives pdbs
 
     def update(self, out, batch, pdbs=None, isomorphisms=None):
@@ -149,6 +150,9 @@ class MetricAccumulator:
         ok = (((1 / (1 + np.exp(-logits)) >= 0.5) == (labels > 0.5)) | ~pm
               ).all(-1)
         self.cls_ok.append(ok)
+        ov = getattr(out, "pocket_overflow", None)
+        self.overflow.append(np.asarray(ov)[valid] if ov is not None
+                             else np.zeros(int(valid.sum()), np.int32))
 
     def summarize(self) -> Dict[str, float]:
         rmsd = np.concatenate(self.rmsds)
@@ -161,6 +165,13 @@ class MetricAccumulator:
             np.concatenate(self.centers_pred),
             np.concatenate(self.centers_true)))
         res["n"] = int(rmsd.shape[0])
+        # predicted-pocket bucket truncation (DESIGN.md scale hazard): a
+        # nonzero count means max_pocket (or the auto buckets' headroom,
+        # data/buckets.py suggest_buckets) should be raised
+        ov = np.concatenate(self.overflow)
+        res["pocket_truncated_samples"] = int((ov > 0).sum())
+        if (ov > 0).any():
+            res["pocket_truncated_residues_max"] = int(ov.max())
         return res
 
     def dump_per_pdb(self, path: str) -> None:

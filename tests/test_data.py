@@ -431,8 +431,12 @@ def test_suggest_buckets():
     shapes = suggest_buckets(sizes, cfg, k=3)
     assert shapes[-1] == cfg.shapes              # drop boundary preserved
     assert all(s.max_ligand % 8 == 0 or s.max_ligand == 64 for s in shapes)
-    # the small population fits a much smaller bucket than the max
-    assert shapes[0].max_ligand <= 16 and shapes[0].max_pocket <= 24
+    # the small population fits a much smaller bucket than the max; the
+    # pocket dim carries the predicted-crop headroom (default 8)
+    assert shapes[0].max_ligand <= 16 and shapes[0].max_pocket <= 32
+    tight = suggest_buckets(sizes, cfg, k=3, pocket_headroom=0)
+    assert tight[0].max_pocket <= 24
+    assert tight[0].max_pocket <= shapes[0].max_pocket
     # every sample fits some bucket
     for n_lig, n_pkt, n_prot in sizes:
         assert any(n_lig <= s.max_ligand and n_prot <= s.max_protein

@@ -195,6 +195,7 @@ def test_cli_train_evaluate_on_lmdb_fixture(tmp_path):
     m = json.load(open(metrics_path))
     assert m["n"] == 2
     assert np.isfinite(m["rmsd_mean"])
+    assert "pocket_truncated_samples" in m   # DESIGN.md hazard surfaced
     lines = open(rmsd_path).read().split()
     assert "te00" in lines and "te01" in lines
 
