@@ -96,3 +96,43 @@ def test_http_rejects_oversized_body():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_flexible_pocket_fields_and_truncation():
+    """A fabflex engine's JSON poses carry pocket_coords/pocket_residues;
+    a truncated predicted crop surfaces pocket_truncated (rigid engines
+    and untruncated poses omit these keys — see _poses_json)."""
+    cfg = preset("fabflex", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    srv = make_server(eng, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.RandomState(5)
+        raw = make_raw(n=9, nr=30, seed=5)
+        # one tight blob: any predicted center keeps all 30 residues within
+        # the 20A radius, so the Np=24 bucket truncates exactly 6
+        raw["protein_xyz"] = (rng.randn(30, 3) * 2).astype(np.float32)
+        raw["lig_coords"] = (raw["protein_xyz"][:3].mean(0)
+                             + rng.randn(9, 3)).astype(np.float32)
+        raw["rdkit_coords"] = raw["lig_coords"].copy()
+        small = make_raw(n=5, nr=20, seed=6)
+        entries = {}
+        for i, r in enumerate([raw, small]):
+            for k, v in r.items():
+                entries[f"r{i}_{k}"] = v
+        status, poses = _post(f"http://127.0.0.1:{port}/dock_raw",
+                              _npz_bytes(entries),
+                              "application/octet-stream")
+        assert status == 200 and len(poses) == 2
+        assert poses[0]["error"] is None
+        assert poses[0]["pocket_truncated"] == 6
+        assert "pocket_truncated" not in poses[1]
+        for p in poses:
+            pc = np.asarray(p["pocket_coords"], np.float32)
+            pr = np.asarray(p["pocket_residues"])
+            assert pc.ndim == 2 and pc.shape[0] == pr.shape[0] > 0
+            assert np.isfinite(pc).all()
+    finally:
+        srv.shutdown()
+        srv.server_close()
