@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--data", default=None,
                    help="dataset dir used by '--buckets auto' to measure "
                         "the complex-size distribution")
+    p.add_argument("--pdb-root", default=None,
+                   help="restrict /dock requests to PDB files under this "
+                        "directory (path-checked); without it /dock "
+                        "accepts arbitrary server paths")
     p.add_argument("--warmup", action="store_true",
                    help="compile every bucket's executable before binding "
                         "the port (first request then serves at steady-state "
@@ -84,7 +88,7 @@ def main(argv=None):
               flush=True)
         dt = engine.warmup()
         print(f"warmup done in {dt:.1f}s")
-    serve_forever(engine, args.host, args.port)
+    serve_forever(engine, args.host, args.port, pdb_root=args.pdb_root)
 
 
 if __name__ == "__main__":

@@ -87,13 +87,12 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
     order = np.argsort(key)
     s = sizes[order]
     n = s.shape[0]
-    # prefix maxima so any contiguous group's bucket dims are O(1)
-    pre_max = np.maximum.accumulate(s, axis=0)
 
     def group_dims(i: int, j: int) -> Tuple[int, int, int]:
         """Bucket dims covering sorted samples i..j inclusive (group maxima
         over ALL axes — the key orders by pair cost, so per-axis maxima
-        need the true running max of the tail)."""
+        must be recomputed per group; n is capped by measure_sizes'
+        `limit`, so the O(n) scan inside the O(n^2 k) DP is fine)."""
         m = np.max(s[i:j + 1], axis=0)
         return (min(_pad8(int(m[0])), base.max_ligand),
                 min(_pad8(int(m[1]) + pocket_headroom), base.max_pocket),

@@ -24,6 +24,8 @@ Example:
 from __future__ import annotations
 
 import dataclasses
+import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -93,9 +95,9 @@ class DockingEngine:
         self.bf16 = bf16
         self.post_optim_steps = post_optim_steps
         self.esm_device = esm_device
-        import threading
         self._lock = threading.RLock()
-        self._protein_cache: Dict[str, Tuple] = {}
+        self._protein_cache: "OrderedDict[str, Tuple]" = OrderedDict()
+        self._protein_locks: Dict[str, threading.Lock] = {}
         self.dp = dp
         if dp > 1:
             from fabind_tpu.parallel.mesh import make_mesh
@@ -115,8 +117,13 @@ class DockingEngine:
             tiny = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
                                        max_protein=32, ctx_k=6, ctx_k_whole=6)
             k = jax.random.PRNGKey(0)
-            tb = jax.jit(lambda: dummy_batch(tiny, batch_size=1,
-                                             n_lig_valid=6, n_prot_valid=24))()
+            # feature dims must match the config (non-default for
+            # use_esm2_feat=False / esm2_concat_raw configs) or the input
+            # Dense kernels get the wrong shapes
+            tb = jax.jit(lambda: dummy_batch(
+                tiny, batch_size=1, n_lig_valid=6, n_prot_valid=24,
+                feat_dim=cfg.model.compound_feat_dim,
+                prot_feat_dim=cfg.model.protein_feat_dim))()
             tiny_model = make_model(dataclasses.replace(cfg, shapes=tiny))
             variables = jax.jit(lambda: tiny_model.init(
                 {"params": k, "dropout": k, "sample": k}, tb, train=False,
@@ -170,9 +177,13 @@ class DockingEngine:
         from fabind_tpu.data.buckets import route_sample
         c = route_sample(s, self.bucket_cfgs)
         if c is None:
+            big = self.bucket_cfgs[-1].shapes
             raise SampleTooLarge(
                 f"complex (lig {s['lig_feat'].shape[0]}, "
-                f"prot {s['prot_xyz'].shape[0]}) exceeds every bucket")
+                f"prot {s['prot_xyz'].shape[0]}, "
+                f"bond_deg {s['bond_deg']}) exceeds every bucket "
+                f"(largest: lig {big.max_ligand}, prot {big.max_protein}, "
+                f"bond_k {big.bond_k})")
         return c
 
     def _fn(self, cfg_b: FABindConfig):
@@ -347,7 +358,12 @@ class DockingEngine:
         docking passes per request (dropout on, optional host DBSCAN pocket
         centers when cfg.model.use_clustering), keep the pose with the
         highest confidence. Executables are cached per bucket like
-        dock_raw's."""
+        dock_raw's. With post_optim_steps the WINNING pose per request gets
+        the batched LAS post-optimization (the reference post-optimizes the
+        pose it keeps, inference_sampling_fabind.py:184; optimizing all
+        sample_size candidates would cost S× for poses that are discarded).
+        Note: pocket_truncated is not measured on this path (sample_poses
+        keeps only coords/scores)."""
         from fabind_tpu.cli.sample import sample_poses
 
         results: List[Optional[Pose]] = [None] * len(raws)
@@ -358,26 +374,52 @@ class DockingEngine:
                 sample_size, seed=seed,
                 batch_idx=bi)                          # [S, B, Nc, 3], [S, B]
             best = np.argmax(scores, axis=0)           # [B]
+            win = coords[best, np.arange(coords.shape[1])]   # [B, Nc, 3]
+            if self.post_optim_steps:
+                from fabind_tpu.postopt import post_optimize_batch_jit
+                win, _ = post_optimize_batch_jit(
+                    win, batch.lig_rdkit_coords, batch.las_adj,
+                    batch.lig_mask, steps=self.post_optim_steps)
+                win = np.asarray(win, np.float32)
             for b in range(n_real):
                 pos, s = chunk[b]
                 n = int(np.asarray(s["lig_feat"]).shape[0])
                 off = np.asarray(s["coord_offset"])
                 results[pos] = Pose(
-                    coords=coords[best[b], b, :n].astype(np.float32) + off,
+                    coords=win[b, :n].astype(np.float32) + off,
                     confidence=float(scores[best[b], b]))
         return results   # type: ignore[return-value]
 
     def _protein_raw(self, pdb_path: str):
-        """(structure, esm) for a PDB path, cached for the engine's life."""
+        """(structure, esm) for a PDB path, LRU-cached (bound: 256 proteins,
+        ~1.3MB ESM array each at typical sizes — a client cycling many paths
+        must not grow host memory without limit).
+
+        Featurization (incl. the ESM2-650M forward, minutes on a small CPU
+        host) runs under a PER-PATH lock, never the engine-wide RLock —
+        holding the global lock here would stall unrelated concurrent
+        requests (compiles, other proteins) for the whole forward."""
         from fabind_tpu.data import featurize as F
-        if pdb_path not in self._protein_cache:
+        with self._lock:
+            if pdb_path in self._protein_cache:
+                self._protein_cache.move_to_end(pdb_path)
+                return self._protein_cache[pdb_path]
+            plock = self._protein_locks.setdefault(
+                pdb_path, threading.Lock())
+        with plock:
+            with self._lock:   # another thread may have finished it
+                if pdb_path in self._protein_cache:
+                    return self._protein_cache[pdb_path]
+            struct = F.extract_protein_structure(pdb_path)
+            esm = F.extract_esm_feature(struct["seq"],
+                                        device=self.esm_device)
             with self._lock:
-                if pdb_path not in self._protein_cache:
-                    struct = F.extract_protein_structure(pdb_path)
-                    esm = F.extract_esm_feature(
-                        struct["seq"], device=self.esm_device)
-                    self._protein_cache[pdb_path] = (struct, esm)
-        return self._protein_cache[pdb_path]
+                self._protein_cache[pdb_path] = (struct, esm)
+                self._protein_cache.move_to_end(pdb_path)
+                while len(self._protein_cache) > 256:
+                    old, _ = self._protein_cache.popitem(last=False)
+                    self._protein_locks.pop(old, None)
+            return struct, esm
 
     def _raw_from_mol(self, mol, pdb_path: str) -> Dict:
         """Featurized request dict from a canonical-order RDKit mol with a

@@ -59,20 +59,34 @@ def _group_npz(data: bytes) -> List[Dict[str, np.ndarray]]:
             shared[k] = z[k]
     if not per:
         return [shared] if shared else []
+    # iterate the indices actually present (ascending) — expanding to
+    # max(per)+1 would let one tiny entry named r4000000000_x allocate
+    # billions of dicts, defeating the request-size guard
     out = []
-    for i in range(max(per) + 1):
+    for i in sorted(per):
         d = dict(shared)
-        d.update(per.get(i, {}))
+        d.update(per[i])
         out.append(d)
     return out
+
+
+def _finite_list(arr: np.ndarray):
+    """tolist() with non-finite floats as null: bare NaN/Infinity tokens are
+    invalid JSON and strict parsers reject the whole response."""
+    arr = np.asarray(arr, np.float32)
+    if np.isfinite(arr).all():
+        return arr.tolist()
+    return [[float(x) if np.isfinite(x) else None for x in row]
+            for row in arr.reshape(arr.shape[0], -1)]
 
 
 def _poses_json(poses) -> bytes:
     out = []
     for p in poses:
+        conf = float(p.confidence)
         d = {
-            "coords": np.asarray(p.coords, np.float32).tolist(),
-            "confidence": float(p.confidence),
+            "coords": _finite_list(p.coords),
+            "confidence": conf if np.isfinite(conf) else None,
             "error": p.error,
         }
         if getattr(p, "pocket_truncated", 0):
@@ -80,8 +94,7 @@ def _poses_json(poses) -> bytes:
             # should re-dock with a larger bucket (DESIGN.md hazard)
             d["pocket_truncated"] = int(p.pocket_truncated)
         if p.pocket_coords is not None:   # flexible-docking engines
-            d["pocket_coords"] = np.asarray(
-                p.pocket_coords, np.float32).tolist()
+            d["pocket_coords"] = _finite_list(p.pocket_coords)
             d["pocket_residues"] = np.asarray(
                 p.pocket_residues).tolist()
         out.append(d)
@@ -90,7 +103,13 @@ def _poses_json(poses) -> bytes:
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
                 max_inflight: int = 4,
-                max_body_bytes: int = 256 * 1024 * 1024) -> ThreadingHTTPServer:
+                max_body_bytes: int = 256 * 1024 * 1024,
+                pdb_root: str = None) -> ThreadingHTTPServer:
+    """pdb_root: when set, /dock requests may only reference PDB files under
+    this directory ('pdb' values are joined to it and path-checked) —
+    without it, clients can probe arbitrary server paths via error
+    messages. Raw-tensor endpoints (/dock_raw, /screen) are unaffected."""
+    import os
     # engine methods are thread-safe; the semaphore only bounds how many
     # requests hold device batches in flight at once (memory, not safety)
     lock = threading.Semaphore(max_inflight)
@@ -139,6 +158,11 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
                     reqs = _group_npz(body)
                     pkeys = ("protein_xyz", "esm_feat",
                              "protein_full_coords")
+                    if not reqs or "protein_xyz" not in reqs[0]:
+                        return self._reply(400, json.dumps(
+                            {"error": "screen needs a protein_xyz (+ "
+                                      "esm_feat) entry and r{i}_-prefixed "
+                                      "ligand entries"}).encode())
                     protein = {k: reqs[0][k] for k in pkeys if k in reqs[0]}
                     ligs = [{k: v for k, v in r.items() if k not in pkeys}
                             for r in reqs]
@@ -146,7 +170,18 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
                         poses = engine.dock_screen(protein, ligs)
                 elif self.path == "/dock":
                     reqs = json.loads(body)
-                    pairs = [(r["smiles"], r["pdb"]) for r in reqs]
+                    pairs = []
+                    for r in reqs:
+                        pdb = r["pdb"]
+                        if pdb_root is not None:
+                            pdb = os.path.realpath(
+                                os.path.join(pdb_root, pdb))
+                            if not pdb.startswith(
+                                    os.path.realpath(pdb_root) + os.sep):
+                                return self._reply(400, json.dumps(
+                                    {"error": f"pdb path {r['pdb']!r} "
+                                              "escapes --pdb-root"}).encode())
+                        pairs.append((r["smiles"], pdb))
                     with lock:
                         poses = engine.dock_smiles(pairs)
                 else:
@@ -159,8 +194,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_forever(engine, host: str = "127.0.0.1", port: int = 8400) -> None:
-    srv = make_server(engine, host, port)
+def serve_forever(engine, host: str = "127.0.0.1", port: int = 8400,
+                  pdb_root: str = None) -> None:
+    srv = make_server(engine, host, port, pdb_root=pdb_root)
     print(f"fabind_tpu serving on http://{host}:{srv.server_address[1]} "
           f"(buckets: {len(engine.bucket_cfgs)}, batch {engine.batch_size})")
     srv.serve_forever()

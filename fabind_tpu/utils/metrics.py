@@ -43,14 +43,21 @@ def summarize_rmsd(rmsd: np.ndarray, prefix: str = "rmsd") -> Dict[str, float]:
     }
 
 
+def pocket_cls_ok(logits: np.ndarray, labels: np.ndarray,
+                  mask: np.ndarray) -> np.ndarray:
+    """Per-sample bool: residue classification fully correct on valid
+    residues (utils/utils.py:533-543 semantics: all-match of the rounded
+    sigmoid). Shared by pocket_cls_accuracy and MetricAccumulator so the
+    two can never diverge."""
+    pred = (1 / (1 + np.exp(-logits)) >= 0.5)
+    return ((pred == (labels > 0.5)) | ~mask).all(axis=-1)
+
+
 def pocket_cls_accuracy(logits: np.ndarray, labels: np.ndarray,
                         mask: np.ndarray) -> float:
     """Fraction of complexes whose residue classification is fully correct
-    on valid residues (utils/utils.py:533-543 semantics: per-sample all-match
-    accuracy of the rounded sigmoid)."""
-    pred = (1 / (1 + np.exp(-logits)) >= 0.5)
-    ok = ((pred == (labels > 0.5)) | ~mask).all(axis=-1)
-    return float(ok.mean())
+    on valid residues."""
+    return float(pocket_cls_ok(logits, labels, mask).mean())
 
 
 def pocket_center_metrics(pred_center: np.ndarray, true_center: np.ndarray,
@@ -147,9 +154,7 @@ class MetricAccumulator:
         logits = np.asarray(out.pocket_cls_logits)[valid]
         labels = np.asarray(out.pocket_cls_label)[valid]
         pm = np.asarray(out.prot_mask)[valid]
-        ok = (((1 / (1 + np.exp(-logits)) >= 0.5) == (labels > 0.5)) | ~pm
-              ).all(-1)
-        self.cls_ok.append(ok)
+        self.cls_ok.append(pocket_cls_ok(logits, labels, pm))
         ov = getattr(out, "pocket_overflow", None)
         self.overflow.append(np.asarray(ov)[valid] if ov is not None
                              else np.zeros(int(valid.sum()), np.int32))

@@ -87,6 +87,18 @@ def test_dock_best_of_sampling():
         assert np.isfinite(pose.coords).all()
         assert np.isfinite(pose.confidence)
 
+    # post_optim_steps must apply to the winning pose (round-2 review:
+    # this path previously ignored it), moving coords while keeping the
+    # same confidence-selected winner
+    eng_po = DockingEngine(cfg, params=eng.params, batch_size=2, bf16=False,
+                           post_optim_steps=25)
+    poses_po = eng_po.dock_best_of(raws, sample_size=2, seed=0)
+    for p, po, n in zip(poses, poses_po, (5, 6)):
+        assert po.coords.shape == (n, 3)
+        assert np.isfinite(po.coords).all()
+        assert po.confidence == p.confidence
+        assert not np.allclose(po.coords, p.coords, atol=1e-5)
+
 
 def test_dock_smiles_skip_and_continue(engine, monkeypatch):
     """Featurization failures come back as error poses in request order."""
