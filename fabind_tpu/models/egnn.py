@@ -158,7 +158,7 @@ class EGCL(nn.Module):
         else:
             packed = jnp.concatenate([x, h], axis=-1)           # [B,N,3+C]
 
-        g_n = G.gather_nodes_mm(packed, ctx.nbr_idx)            # [B,N,K,3+*]
+        g_n = G.gather_neighbors(packed, ctx.nbr_idx)           # [B,N,K,3+*]
         x_nbr = g_n[..., :3]
         diff_n = x[:, :, None, :] - x_nbr
         r_n = jnp.sum(diff_n * diff_n, axis=-1)                 # [B,N,K]
@@ -352,12 +352,14 @@ class InterAttention(nn.Module):
             b0 = coord_mlp.l1(zc)
             u_r = (coord_mlp.l1(v_r[None, None, :]) - b0)[0, 0]
 
-        def direction(q_d, k_node_s, v_node_s, r_ds, adj_ds, bias_ds, x_d, x_s,
-                      diff_ds):
+        def direction(q_d, k_node_s, v_node_s, r_ds, adj_ds, bias_ds,
+                      x_d, x_s):
             """One attention direction: destinations d attend over sources s.
 
-            q_d [B,Nd,C]; *_s [B,Ns,C]; r_ds/adj_ds/bias_ds [B,Nd,Ns];
-            diff_ds [B,Nd,Ns,3] = x_d - x_s.
+            q_d [B,Nd,C]; *_s [B,Ns,C]; r_ds/adj_ds/bias_ds [B,Nd,Ns].
+            The coord update needs only x_d/x_s: Σ_s t·(x_d - x_s) is
+            decomposed as (Σ_s t)·x_d - t@x_s, never materializing the
+            [B,Nd,Ns,3] difference tensor.
             """
             logits = jnp.einsum("bdc,bsc->bds", q_d, k_node_s)
             logits = logits + r_ds * jnp.einsum("bdc,c->bd", q_d, k_r)[..., None]
@@ -383,13 +385,12 @@ class InterAttention(nn.Module):
         # ligand destinations over pocket sources
         bias_cp = None if pair_bias_pc is None else jnp.swapaxes(pair_bias_pc, 1, 2)
         agg_l, dx_l = direction(q_l, k_node_p, v_node_p, r, adj, bias_cp,
-                                x_l, x_p, diff_lp)
+                                x_l, x_p)
         # pocket destinations over ligand sources
         r_t = jnp.swapaxes(r, 1, 2)
         adj_t = jnp.swapaxes(adj, 1, 2)
         agg_p, dx_p = direction(q_p, k_node_l, v_node_l, r_t, adj_t,
-                                pair_bias_pc, x_p, x_l,
-                                -jnp.swapaxes(diff_lp, 1, 2))
+                                pair_bias_pc, x_p, x_l)
 
         agg = jnp.zeros_like(h)
         agg = agg.at[:, layout.lig_slice].set(agg_l)

@@ -300,6 +300,27 @@ def gather_nodes_mm(v: Array, idx: Array) -> Array:
     return out.reshape(B, I1, I2, C)
 
 
+# Above this many source nodes the onehot operand ([B, I*K, N], ~N^2*K
+# elements) dominates: at the DEFAULT whole-protein shapes (Nr=1024 ->
+# N=1154, K=32) it is ~1.4GB fp32 per layer call (recomputed under remat),
+# while the measured random-gather cost it avoids is ~0.5ms. The measured
+# win only exists at the bucketed serving shapes (N<=640).
+_GATHER_MM_MAX_N = 640
+
+
+def gather_neighbors(v: Array, idx: Array) -> Array:
+    """Neighbor-table gather, picking the implementation by source-node
+    count (static shape, so the choice is per-executable, free at runtime):
+    one-hot matmul (MXU) for small N, plain per-batch gather for large N
+    where the onehot operand's HBM traffic exceeds the gather it avoids.
+
+    v: [B, N, C]; idx: [B, I1, I2] int32 -> [B, I1, I2, C].
+    """
+    if v.shape[1] <= _GATHER_MM_MAX_N:
+        return gather_nodes_mm(v, idx)
+    return gather_nodes(v, idx)
+
+
 def compact_keep_mask(keep: Array, n_slots: int):
     """Pack kept items (in order) into n_slots; replaces the reference's
     boolean-index re-batching (model.py:195-288).

@@ -15,14 +15,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from fabind_tpu.ops.geometry import safe_sqrt
+from fabind_tpu.ops.geometry import pairwise_dist, safe_sqrt
 
 Array = jax.Array
 
 
 def _pair_dist(x: Array) -> Array:
-    d2 = jnp.sum((x[..., :, None, :] - x[..., None, :, :]) ** 2, axis=-1)
-    return safe_sqrt(d2)
+    return pairwise_dist(x, x)
 
 
 def configuration_loss(x: Array, ref_dis: Array, las_mask: Array,
@@ -61,13 +60,15 @@ def post_optimize_batch(pred_coords: Array, ref_coords: Array,
 
     def step(carry, _):
         x, opt_state = carry
-        (_, per), g = jax.value_and_grad(total_loss, has_aux=True)(x)
+        (_, _), g = jax.value_and_grad(total_loss, has_aux=True)(x)
         updates, opt_state = opt.update(g, opt_state, x)
         x = optax.apply_updates(x, updates)
-        return (x, opt_state), per
+        return (x, opt_state), None   # no per-step output: stacking a
+        #                               [steps, B] loss history is pure HBM
+        #                               waste on the serving hot path
 
-    (x, _), per = jax.lax.scan(step, (pred_coords, opt.init(pred_coords)),
-                               None, length=steps)
+    (x, _), _ = jax.lax.scan(step, (pred_coords, opt.init(pred_coords)),
+                             None, length=steps)
     final = configuration_loss(x, ref_dis, las_mask, atom_mask)
     return x, final
 

@@ -38,9 +38,9 @@ def bce_with_logits(logits: Array, labels: Array) -> Array:
         jnp.exp(-jnp.abs(logits)))
 
 
-def masked_mean(v: Array, mask: Array) -> Array:
-    m = mask.astype(v.dtype)
-    return jnp.sum(v * m) / jnp.maximum(jnp.sum(m), 1.0)
+# single masked-mean implementation for the whole loss/geometry stack
+# (identical zero-denominator behavior: empty mask -> 0)
+masked_mean = geometry.masked_mean
 
 
 def coord_criterion(name: str):
@@ -107,9 +107,7 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         lig_mask=out.lig_mask & sv[:, None],
         pair_valid=out.pair_valid & sv[:, None, None],
         prot_mask=out.prot_mask & sv[:, None],
-        pkt_mask=(out.pkt_mask & sv[:, None]
-                  if getattr(out, "pkt_mask", None) is not None else
-                  out.pkt_mask),
+        pkt_mask=out.pkt_mask & sv[:, None],
     )
 
     # ---- ligand coordinate loss ----
@@ -201,11 +199,16 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
         "rmsd_lt5": row_mean((rmsd < 5.0).astype(jnp.float32)),
         "centroid_dis_mean": row_mean(centroid),
         "use_stage2": out.use_stage2.astype(jnp.float32),
-        # counters, not means — but padding duplicates must not inflate them
-        # (pocket_overflow is the bucket-overflow sentinel; see MEMORY)
-        "keep_less_5": jnp.sum(out.keep_less_5.astype(jnp.float32) * svf),
+        # counters, not means — but padding duplicates must not inflate
+        # them, and on base-variant steps that gated INTO the GT pocket
+        # (use_stage2 false) the predicted-crop candidate was computed but
+        # never docked, so reporting its overflow would point an operator
+        # at a bucket overflow with zero effect on the step
+        "keep_less_5": jnp.sum(out.keep_less_5.astype(jnp.float32) * svf
+                               * out.use_stage2.astype(jnp.float32)),
         "pocket_overflow": jnp.sum(
-            out.pocket_overflow.astype(jnp.float32) * svf),
+            out.pocket_overflow.astype(jnp.float32) * svf
+            * out.use_stage2.astype(jnp.float32)),
     }
     return total, metrics
 

@@ -168,3 +168,27 @@ def test_movable_and_masks():
     assert glb[0] and glb[4] and glb.sum() == 2
     mov = np.asarray(layout.movable())
     np.testing.assert_array_equal(mov, [1, 1, 1, 1, 1, 0, 0, 0, 0])
+
+
+def test_gather_neighbors_dispatch_parity():
+    """gather_neighbors must produce identical results in both regimes:
+    one-hot matmul (small N, MXU path) and plain gather (large N, where the
+    [B,I*K,N] one-hot operand would be ~N^2*K elements — 1.4GB fp32 at the
+    DEFAULT whole-protein shapes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fabind_tpu.ops import graph as G
+
+    rng = np.random.default_rng(0)
+    for N in (32, G._GATHER_MM_MAX_N + 7):   # one per regime
+        v = jnp.asarray(rng.normal(size=(2, N, 5)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, N, size=(2, 6, 3)), jnp.int32)
+        got = jax.jit(G.gather_neighbors)(v, idx)
+        ref = jax.jit(G.gather_nodes_mm)(v, idx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+        plain = jax.jit(G.gather_nodes)(v, idx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(plain),
+                                   atol=1e-6)
