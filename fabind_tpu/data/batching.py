@@ -23,8 +23,13 @@ class SampleTooLarge(ValueError):
 
 def uniform_random_rotation(x: np.ndarray, rng: np.random.RandomState
                             ) -> np.ndarray:
-    """Uniform random 3D rotation about the mean coordinate
-    (utils/utils.py:50-86, Avro 1992)."""
+    """Uniform random 3D rotation (utils/utils.py:50-86, Avro 1992).
+
+    Reference-exact, including its quirk: despite the reference docstring
+    saying "about the mean coordinate", (x - mean) @ M + mean @ M is
+    algebraically x @ M — a rotation about the ORIGIN. Both call sites
+    recenter afterwards, so this matters only to new callers: do not rely
+    on the mean being preserved."""
     x1 = rng.rand()
     R = np.eye(3)
     R[0, 0] = R[1, 1] = np.cos(2 * np.pi * x1)

@@ -309,7 +309,15 @@ class Loader:
             "host_shard (multi-host dp) is incompatible with shape buckets"
 
     def __len__(self):
-        return (len(self.indices) + self.batch_size - 1) // self.batch_size
+        """Batches per epoch. Exact for the single-bucket case (incl.
+        host_shard, where each host iterates its ceil(len/world) share);
+        with multiple buckets this is a LOWER bound — each non-empty bucket
+        flushes its own padded trailing batch, so the true count can exceed
+        this by up to n_buckets - 1 (routing is data-dependent)."""
+        n = len(self.indices)
+        if self.host_shard is not None:
+            n = -(-n // self.host_shard[1])
+        return -(-n // self.batch_size)
 
     def _route(self, s) -> Optional[FABindConfig]:
         """Smallest bucket the sample fits (None -> oversize)."""
@@ -431,24 +439,16 @@ class Loader:
                 n_emitted += 1
                 bufs[id(cfg_b)] = ([], [], cfg_b)
         if deficit:
-            # epoch ended while oversize samples were still owed a
-            # substitute (no valid sample had been seen yet when they
-            # arrived): flush them now so this host emits the same batch
-            # count as its peers — otherwise the collective dp step hangs
-            if last_valid is None:
-                raise RuntimeError(
-                    f"host_shard epoch has no valid sample to substitute "
-                    f"for {deficit} oversize samples; every sample on this "
-                    f"host exceeds the bucket — raise the shape bucket or "
-                    f"fix the split")
-            cfg_b, raw, s, idx = last_valid
-            for _ in range(deficit):
-                if feed(cfg_b, raw, s, idx):
-                    if n_emitted >= skip_batches:
-                        yield emit(*bufs[id(cfg_b)][:2], cfg_b,
-                                   self.batch_size)
-                    n_emitted += 1
-                    bufs[id(cfg_b)] = ([], [], cfg_b)
+            # deficit only accumulates while last_valid is None and the
+            # first valid sample flushes it, so a leftover deficit here
+            # means the ENTIRE epoch had no valid sample — nothing to
+            # substitute, and emitting fewer batches than peer hosts would
+            # hang the collective dp step
+            raise RuntimeError(
+                f"host_shard epoch has no valid sample to substitute "
+                f"for {deficit} oversize samples; every sample on this "
+                f"host exceeds the bucket — raise the shape bucket or "
+                f"fix the split")
         for buf, pdbs, cfg_b in bufs.values():
             if not buf:
                 continue

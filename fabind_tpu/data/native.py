@@ -39,11 +39,13 @@ def get_lib():
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        i32 = ctypes.c_int32
         lib.pack_f32.argtypes = [f32p, i64, i64, f32p, u8p, i64, i64]
-        lib.scatter_labels.argtypes = [i32p, i64, f32p, i64, i64]
+        lib.pack_f32.restype = i32
         lib.pack_bonds.argtypes = [i64p, i64, i32p, u8p, i64, i64, i64]
         lib.pack_bonds.restype = i64
         lib.pack_adj.argtypes = [u8p, i64, u8p, i64, i64]
+        lib.pack_adj.restype = i32
         _LIB = lib
     return _LIB
 
@@ -66,7 +68,20 @@ def _i64(a):
 
 def collate_native(samples: Sequence[dict], cfg, max_iso: int = 8,
                    n_valid: Optional[int] = None):
-    """Native-packed equivalent of batching.collate."""
+    """Native-packed equivalent of batching.collate.
+
+    Limitation: isomorphism tables are NOT packed (batch.isomorphisms is
+    always None here) — samples carrying them are rejected rather than
+    silently losing the permutation-invariant loss downstream
+    (train/losses.py falls back to the plain coordinate loss when
+    isomorphisms is None)."""
+    for x in samples:
+        iso = x.get("isomorphisms")
+        if iso is not None and len(iso):
+            raise NotImplementedError(
+                "collate_native does not pack isomorphism tables; use the "
+                "python collate (batching.collate) for the FABind+ "
+                "permutation-loss pipeline")
     from fabind_tpu.data.batching import SampleTooLarge
     from fabind_tpu.data.types import FABindBatch
 
@@ -106,13 +121,26 @@ def collate_native(samples: Sequence[dict], cfg, max_iso: int = 8,
         if nr > Nr:
             raise SampleTooLarge(f"protein {nr} > {Nr}")
 
-        def pack(key, src, N, mask_key=None, d=None):
+        def pack(key, src, N, mask_key=None):
+            # validate BEFORE handing pointers to C: a row count or feature
+            # dim that disagrees with the destination buffer would memcpy
+            # past the slot (the python collate raises on these; the native
+            # path must never corrupt memory instead)
             src = np.ascontiguousarray(src, np.float32)
-            d = d if d is not None else (src.shape[1] if src.ndim > 1 else 1)
-            lib.pack_f32(_fp(src), src.shape[0], d, _fp(out[key]),
-                         _u8(out[mask_key]) if mask_key else
-                         ctypes.cast(None, ctypes.POINTER(ctypes.c_uint8)),
-                         b, N)
+            dst = out[key]
+            d = dst.shape[2] if dst.ndim > 2 else 1
+            src_d = src.shape[1] if src.ndim > 1 else 1
+            if src_d != d:
+                raise ValueError(f"{key}: feature dim {src_d} != {d}")
+            if src.shape[0] > N:
+                raise SampleTooLarge(f"{key}: {src.shape[0]} rows > {N}")
+            rc = lib.pack_f32(_fp(src), src.shape[0], d, _fp(dst),
+                              _u8(out[mask_key]) if mask_key else
+                              ctypes.cast(None,
+                                          ctypes.POINTER(ctypes.c_uint8)),
+                              b, N)
+            if rc != 0:
+                raise ValueError(f"pack_f32({key}) error {rc}")
 
         pack("lig_feat", x["lig_feat"], Nc, "lig_mask")
         pack("lig_coords", x["lig_coords"], Nc)
@@ -132,7 +160,9 @@ def collate_native(samples: Sequence[dict], cfg, max_iso: int = 8,
             raise ValueError(f"pack_bonds error {deg}")
 
         adj = np.ascontiguousarray(x["las_adj"], np.uint8)
-        lib.pack_adj(_u8(adj), adj.shape[0], _u8(out["las_adj"]), b, Nc)
+        if lib.pack_adj(_u8(adj), adj.shape[0], _u8(out["las_adj"]),
+                        b, Nc) != 0:
+            raise SampleTooLarge(f"las_adj {adj.shape[0]} > {Nc}")
 
         pidx = np.ascontiguousarray(x["pocket_idx"][:Np], np.int32)
         out["pocket_idx"][b, :len(pidx)] = pidx

@@ -133,6 +133,22 @@ class DockingEngine:
                 if ckpt.endswith(".bin") or ckpt.endswith(".pt"):
                     from fabind_tpu.train.convert import convert_checkpoint
                     params, self.ckpt_report = convert_checkpoint(ckpt, params)
+                    miss = self.ckpt_report["missing"]
+                    n_total = len(jax.tree_util.tree_leaves(params))
+                    if miss and len(miss) >= n_total:
+                        raise ValueError(
+                            f"checkpoint {ckpt} filled none of the model's "
+                            f"{n_total} param leaves — wrong checkpoint or "
+                            f"wrong preset?")
+                    if miss:
+                        # strict=False overlay (the reference relies on it
+                        # for the confidence superset,
+                        # test_sampling_fabind.py:114) — but serving fresh-
+                        # init weights silently is how garbage poses ship
+                        import sys
+                        print(f"WARNING: {ckpt} left {len(miss)}/{n_total} "
+                              f"param leaves at fresh init; first: "
+                              f"{miss[:3]}", file=sys.stderr)
                 else:
                     from fabind_tpu.train import checkpoints
                     params = checkpoints.restore_params(ckpt, params)

@@ -130,20 +130,49 @@ def save_params(path: str, params: Any) -> str:
     return path
 
 
-def overlay(template: Any, restored: Any) -> Any:
+def _leaf_paths(tree: Any, path: str, out: list) -> None:
+    """Append one path entry PER LEAF under tree (so missing-leaf counts
+    compare directly against tree_leaves totals)."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _leaf_paths(v, f"{path}/{k}", out)
+    else:
+        out.append(path)
+
+
+def overlay(template: Any, restored: Any, _path: str = "",
+            _missing: list = None) -> Any:
     """Recursively overlay restored params onto a template: entries missing
     from the checkpoint keep their template (fresh-init) values — the
     strict=False torch load_state_dict semantics the reference relies on for
-    the confidence-head superset (test_sampling_fabind.py:114)."""
+    the confidence-head superset (test_sampling_fabind.py:114).
+
+    A restored leaf whose shape disagrees with the template raises
+    immediately with its path (otherwise the mismatch surfaces as a cryptic
+    jit shape error far downstream). Pass a list as _missing to collect the
+    template paths the checkpoint did not provide; restore_params uses this
+    to refuse checkpoints with ZERO overlap (a wrong-model checkpoint would
+    otherwise 'restore' 100% fresh-init params silently)."""
     if isinstance(template, dict):
         out = {}
         for k, v in template.items():
             if isinstance(restored, dict) and k in restored:
-                out[k] = overlay(v, restored[k])
+                out[k] = overlay(v, restored[k], f"{_path}/{k}", _missing)
             else:
                 out[k] = v
+                if _missing is not None:
+                    _leaf_paths(v, f"{_path}/{k}", _missing)
         return out
-    return restored if restored is not None else template
+    if restored is None:
+        if _missing is not None:
+            _missing.append(_path)
+        return template
+    ts = getattr(template, "shape", None)
+    rs = getattr(restored, "shape", None)
+    if ts is not None and rs is not None and tuple(ts) != tuple(rs):
+        raise ValueError(f"checkpoint leaf {_path} has shape {tuple(rs)}, "
+                         f"model expects {tuple(ts)}")
+    return restored
 
 
 _overlay = overlay
@@ -170,7 +199,20 @@ def restore_params(path: str, template: Any) -> Any:
             p = os.path.join(os.path.abspath(path), f"step_{step}")
             restored = ocp.StandardCheckpointer().restore(p)["params"]
         import jax
-        return _overlay(jax.tree_util.tree_map(lambda x: x, template),
-                        restored)
+        missing: list = []
+        out = _overlay(jax.tree_util.tree_map(lambda x: x, template),
+                       restored, _missing=missing)
+        n_total = len(jax.tree_util.tree_leaves(template))
+        if missing and len(missing) >= n_total:
+            raise ValueError(
+                f"checkpoint at {path} shares no parameters with this "
+                f"model (all {n_total} leaves would stay fresh-init) — "
+                f"wrong checkpoint or wrong preset?")
+        if missing:
+            import sys
+            print(f"restore_params: {len(missing)}/{n_total} param leaves "
+                  f"not in checkpoint, kept at template init (strict=False "
+                  f"overlay); first: {missing[:3]}", file=sys.stderr)
+        return out
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)

@@ -113,10 +113,25 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
         }
         return loss, metrics
 
+    def _split(params):
+        head = {k: v for k, v in params.items()
+                if k.startswith(("ranking", "confidence"))}
+        trunk = {k: v for k, v in params.items() if k not in head}
+        return head, trunk
+
     @jax.jit
     def step(params, opt_state, batch, key):
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, key)
+        # differentiate w.r.t. the HEAD params only: the trunk is frozen
+        # (reference sets requires_grad=False, train_confidence.py:163-166)
+        # and the head consumes the trunk's pooled embedding at the end of
+        # the forward, so grad-through-head never needs the trunk backward —
+        # XLA drops it entirely instead of computing C copies of full-model
+        # gradients that set_to_zero would discard
+        head, trunk = _split(params)
+        (loss, metrics), hgrads = jax.value_and_grad(
+            lambda h: loss_fn({**trunk, **h}, batch, key),
+            has_aux=True)(head)
+        grads = {**jax.tree_util.tree_map(jnp.zeros_like, trunk), **hgrads}
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -143,9 +143,12 @@ def export_torch_state_dict(params: Any, is_plus: bool = False
     """Inverse mapping (flax -> torch naming), for round-trip tests and for
     shipping fabind_tpu-trained weights back to the torch reference. For base
     checkpoints (is_plus=False) the Sequential-index renames are inverted
-    (linear1/linear2 -> 0/2 under the Sequential MLPs, mlp_0/mlp_3 ->
-    mlp.0/mlp.3); FABind+ torch MLPs use named linear1/linear2 attributes, so
-    is_plus=True leaves them as-is."""
+    (linear1/linear2 -> 0/2 under the Sequential MLPs); FABind+ torch MLPs
+    use named linear1/linear2 attributes, so is_plus=True leaves them as-is.
+    The RBFDistanceModule rename (mlp_0/mlp_3 -> mlp.0/mlp.3) is inverted
+    unconditionally, mirroring the import side: those component names exist
+    exactly when keep_trig_attn instantiates RBFDistanceModule, for either
+    variant."""
     flat = _flatten(params)
     sd = {}
     inv = {"linear1": "0", "linear2": "2"}
@@ -156,9 +159,9 @@ def export_torch_state_dict(params: Any, is_plus: bool = False
             parts = [inv[c] if c in inv and i > 0
                      and parts[i - 1] in _SEQUENTIAL_PARENTS else c
                      for i, c in enumerate(parts)]
-            parts = [c2 for c in parts
-                     for c2 in (("mlp", c[4:]) if c in ("mlp_0", "mlp_3")
-                                else (c,))]
+        parts = [c2 for c in parts
+                 for c2 in (("mlp", c[4:]) if c in ("mlp_0", "mlp_3")
+                            else (c,))]
         if parts[-1] == "linear_kv_kernel":
             sd[".".join(parts[:-1] + ["linear_kv", "weight"])] = arr.T
             continue

@@ -16,22 +16,19 @@
 extern "C" {
 
 // Copy a ragged [n, d] float32 array into row b of a padded [B, N, d] buffer
-// and set the first n entries of the bool mask row.
-void pack_f32(const float* src, int64_t n, int64_t d,
-              float* dst, uint8_t* mask, int64_t b, int64_t N) {
+// and set the first n entries of the bool mask row. Returns 0, or -1 when
+// n would overrun the slot — the caller-side (python) shape checks are
+// authoritative, but a defensive check here means a binding bug corrupts
+// nothing (memcpy past the slot would silently trash later batch rows or
+// the heap).
+int32_t pack_f32(const float* src, int64_t n, int64_t d,
+                 float* dst, uint8_t* mask, int64_t b, int64_t N) {
+  if (n < 0 || n > N || d <= 0) return -1;
   std::memcpy(dst + (b * N) * d, src, sizeof(float) * n * d);
   if (mask) {
     std::memset(mask + b * N, 1, n);
   }
-}
-
-// Scatter pocket labels: dst[b, idx[i]] = 1 for i < n.
-void scatter_labels(const int32_t* idx, int64_t n, float* dst, int64_t b,
-                    int64_t N) {
-  float* row = dst + b * N;
-  for (int64_t i = 0; i < n; ++i) {
-    row[idx[i]] = 1.0f;
-  }
+  return 0;
 }
 
 // Build the bond neighbor table for one sample from a directed edge list
@@ -73,11 +70,14 @@ int64_t pack_bonds(const int64_t* edges, int64_t e,
 }
 
 // Pack a ragged [n, n] bool LAS adjacency into row b of [B, N, N].
-void pack_adj(const uint8_t* src, int64_t n, uint8_t* dst, int64_t b,
-              int64_t N) {
+// Returns 0, or -1 when n exceeds the slot.
+int32_t pack_adj(const uint8_t* src, int64_t n, uint8_t* dst, int64_t b,
+                 int64_t N) {
+  if (n < 0 || n > N) return -1;
   for (int64_t i = 0; i < n; ++i) {
     std::memcpy(dst + (b * N + i) * N, src + i * n, n);
   }
+  return 0;
 }
 
 }  // extern "C"
