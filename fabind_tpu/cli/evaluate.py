@@ -80,33 +80,27 @@ def main(argv=None):
     from fabind_tpu.data.dataset import Loader, NPZSource
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.postopt import post_optimize_batch_jit
-    from fabind_tpu.train.convert import convert_checkpoint
     from fabind_tpu.train import checkpoints
     from fabind_tpu.utils.metrics import MetricAccumulator
     from fabind_tpu.data.types import dummy_batch
 
     from fabind_tpu.config import parse_overrides
-    cfg = preset(args.preset, batch_size=args.batch_size,
-                 **parse_overrides(args.set))
+    overrides = parse_overrides(args.set)
+    # --set may legitimately carry batch_size; the flag is only a default
+    overrides.setdefault("batch_size", args.batch_size)
+    cfg = preset(args.preset, **overrides)
     model = make_model(cfg)
 
-    # init a template, then load weights
-    tmpl_batch = dummy_batch(cfg.shapes, batch_size=1)
+    # init a template (feature dims from the config — non-default for
+    # use_esm2_feat=False / esm2_concat_raw), then load weights
+    tmpl_batch = dummy_batch(cfg.shapes, batch_size=1,
+                             feat_dim=cfg.model.compound_feat_dim,
+                             prot_feat_dim=cfg.model.protein_feat_dim)
     k = jax.random.PRNGKey(0)
     variables = jax.jit(lambda: model.init(
         {"params": k, "dropout": k, "sample": k}, tmpl_batch, train=False,
         stage=2))()
-    if args.ckpt.endswith(".bin") or args.ckpt.endswith(".pt"):
-        params, report = convert_checkpoint(args.ckpt, variables["params"])
-        print(f"converted torch ckpt: {report['n_torch']} tensors, "
-              f"{len(report['missing'])} missing, "
-              f"{len(report['unused'])} unused")
-        if report["missing"]:
-            print("MISSING:", report["missing"][:20])
-        import jax.numpy as jnp
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-    else:
-        params = checkpoints.restore_params(args.ckpt, variables["params"])
+    params, _ = checkpoints.load_params(args.ckpt, variables["params"])
 
     from fabind_tpu.data.dataset import open_source
     source, indices = open_source(args.data, variant=args.preset,
@@ -145,7 +139,7 @@ def main(argv=None):
             buckets.append(dataclasses.replace(
                 cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
     loader = Loader(source, indices, cfg, group=args.split,
-                    batch_size=args.batch_size, buckets=buckets,
+                    batch_size=cfg.train.batch_size, buckets=buckets,
                     workers=args.workers, prefetch_depth=args.prefetch)
 
     # one model + jitted step per shape bucket (params are shape-independent)

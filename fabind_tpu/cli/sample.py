@@ -181,7 +181,6 @@ def main(argv=None):
     from fabind_tpu.data.dataset import Loader
     from fabind_tpu.data.types import dummy_batch
     from fabind_tpu.models.fabind import make_model
-    from fabind_tpu.train.convert import convert_checkpoint
     from fabind_tpu.utils.metrics import (centroid_distance, ligand_rmsd,
                                           summarize_rmsd, symmetric_rmsd)
 
@@ -189,16 +188,15 @@ def main(argv=None):
     cfg = preset(args.preset, **parse_overrides(args.set))
     model = make_model(cfg)
     k = jax.random.PRNGKey(0)
-    tmpl = dummy_batch(cfg.shapes, batch_size=1)
+    tmpl = dummy_batch(cfg.shapes, batch_size=1,
+                       feat_dim=cfg.model.compound_feat_dim,
+                       prot_feat_dim=cfg.model.protein_feat_dim)
     variables = jax.jit(lambda: model.init(
         {"params": k, "dropout": k, "sample": k}, tmpl, train=False,
         stage=2))()
-    if args.ckpt.endswith(".bin") or args.ckpt.endswith(".pt"):
-        params, report = convert_checkpoint(args.ckpt, variables["params"])
-    else:
-        from fabind_tpu.train import checkpoints
-        params = checkpoints.restore_params(args.ckpt, variables["params"])
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    from fabind_tpu.train import checkpoints
+    params, _ = checkpoints.load_params(args.ckpt, variables["params"],
+                                        verbose=False)
 
     from fabind_tpu.data.dataset import open_source
     source, indices = open_source(args.data, variant="fabind_plus",

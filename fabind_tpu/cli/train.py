@@ -211,7 +211,8 @@ def main(argv=None):
                        meta={"epoch": epoch + 1, "batch_in_epoch": 0},
                        step=step)
 
-        if (epoch + 1) % args.eval_every == 0 and len(valid_loader.indices):
+        if (args.eval_every > 0 and (epoch + 1) % args.eval_every == 0
+                and len(valid_loader.indices)):
             for stage, eval_step in eval_steps.items():
                 acc = MetricAccumulator()
                 for batch in valid_loader.epoch(0):

@@ -149,15 +149,22 @@ def main(argv=None):
         t0 = time.time()
         acc = {}
         n_batches = 0
+        dev_metrics = []
         for batch in loader.epoch(epoch):
             rng, k = jax.random.split(rng)
             params, opt_state, metrics = step_fn(params, opt_state, batch, k)
             step += 1
             n_batches += 1
-            for name, v in metrics.items():
-                acc[name] = acc.get(name, 0.0) + float(v)
+            # keep metrics ON DEVICE: float(v) per step would block on the
+            # async dispatch and serialize device and host (train.py only
+            # materializes every 50 steps for the same reason)
+            dev_metrics.append(metrics)
             if step % 50 == 0:
-                logger.log_metrics(metrics, step)
+                logger.log_metrics(
+                    {k: float(v) for k, v in metrics.items()}, step)
+        for m in jax.device_get(dev_metrics):
+            for name, v in m.items():
+                acc[name] = acc.get(name, 0.0) + float(v)
         summary = {k: v / max(n_batches, 1) for k, v in acc.items()}
         logger.log_metrics(summary, step, phase="epoch")
         logger.log_message(

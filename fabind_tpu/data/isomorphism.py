@@ -23,16 +23,29 @@ import numpy as np
 HARD_ISO_LIMIT = 4096
 
 
+class _IsoTimeout(Exception):
+    pass
+
+
 def enumerate_automorphisms(n_atoms: int, edges: Sequence, node_labels,
                             edge_labels=None,
-                            limit: int = HARD_ISO_LIMIT
+                            limit: int = HARD_ISO_LIMIT,
+                            timeout_s: float = 10.0
                             ) -> "tuple[np.ndarray, bool]":
-    """Enumerate graph automorphisms up to `limit`.
+    """Enumerate graph automorphisms up to `limit`, bounded by wall clock.
+
+    `limit` bounds the COUNT but VF2 can backtrack exponentially BETWEEN
+    matches on pathological ligands, so enumeration is also bounded by
+    `timeout_s` — the reference's get_sym_rmsd.py:12-24 SIGALRM semantics.
+    On the main thread a real SIGALRM interrupts mid-backtrack; elsewhere
+    the deadline is checked between matches (best effort). Timeout returns
+    whatever was found (at least the identity), truncated=True.
 
     Args:
       edges: iterable of (i, j) undirected bonds (one direction suffices).
       node_labels: per-atom hashable labels.
       edge_labels: optional per-edge hashable labels (same order as edges).
+      timeout_s: wall-clock bound; 0/None disables.
     Returns:
       ([n_iso, n_atoms] int32 with identity first, truncated flag).
     """
@@ -57,17 +70,40 @@ def enumerate_automorphisms(n_atoms: int, edges: Sequence, node_labels,
     seen = set()
     identity = tuple(range(n_atoms))
     truncated = False
-    for mapping in matcher.isomorphisms_iter():
-        perm = tuple(mapping[i] for i in range(n_atoms))
-        if perm in seen:
-            continue
-        seen.add(perm)
-        if perm == identity:
-            continue
-        if len(isos) >= limit - 1:
-            truncated = True
-            break
-        isos.append(np.asarray(perm, np.int32))
+
+    import signal
+    import threading
+    import time
+    use_alarm = (timeout_s and timeout_s > 0
+                 and threading.current_thread() is threading.main_thread())
+    deadline = (time.monotonic() + timeout_s) if timeout_s else None
+    old_handler = None
+    if use_alarm:
+        def _raise(signum, frame):
+            raise _IsoTimeout()
+        old_handler = signal.signal(signal.SIGALRM, _raise)
+        signal.setitimer(signal.ITIMER_REAL, timeout_s)
+    try:
+        for mapping in matcher.isomorphisms_iter():
+            if deadline is not None and time.monotonic() > deadline:
+                truncated = True
+                break
+            perm = tuple(mapping[i] for i in range(n_atoms))
+            if perm in seen:
+                continue
+            seen.add(perm)
+            if perm == identity:
+                continue
+            if len(isos) >= limit - 1:
+                truncated = True
+                break
+            isos.append(np.asarray(perm, np.int32))
+    except _IsoTimeout:
+        truncated = True
+    finally:
+        if use_alarm:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old_handler)
     out = [np.arange(n_atoms, dtype=np.int32)] + isos
     return np.stack(out), truncated
 

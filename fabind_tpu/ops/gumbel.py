@@ -72,7 +72,8 @@ def pocket_center_from_cls(
     w = one_hot[..., 1] * mask.astype(one_hot.dtype)       # [B, Nr]
     num = jnp.sum(w[..., None] * coords, axis=1)
     den = jnp.sum(w, axis=1, keepdims=True)
-    return num / jnp.where(den == 0, 1.0, den)
+    from fabind_tpu.ops.geometry import safe_div
+    return safe_div(num, den)
 
 
 def pocket_center_rounded(
@@ -85,9 +86,10 @@ def pocket_center_rounded(
     """Inference-time center (model.py:423-437): mean of residues whose
     sigmoid rounds to 1; fallback to the no-random gumbel center when no
     residue is predicted positive."""
+    from fabind_tpu.ops.geometry import safe_div
     pos = (jax.nn.sigmoid(cls_logits) >= 0.5) & mask
     w = pos.astype(coords.dtype)
     den = jnp.sum(w, axis=1, keepdims=True)
-    rounded = jnp.sum(w[..., None] * coords, axis=1) / jnp.where(den == 0, 1.0, den)
+    rounded = safe_div(jnp.sum(w[..., None] * coords, axis=1), den)
     fallback = pocket_center_from_cls(cls_logits, coords, mask, tau, hard, None)
     return jnp.where(den > 0, rounded, fallback)

@@ -48,6 +48,14 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "dp") -> Any:
     """
     sh = batch_sharding(mesh, axis)
     if jax.process_count() > 1:
+        procs = {d.process_index for d in mesh.devices.flat}
+        if len(procs) != jax.process_count():
+            raise ValueError(
+                f"multi-process shard_batch needs a mesh spanning every "
+                f"process's devices (mesh covers {len(procs)} of "
+                f"{jax.process_count()} processes) — e.g. --dp smaller "
+                f"than the pod slices the first host's chips only; build "
+                f"the mesh over all devices (make_mesh() with no count)")
         def to_global(x):
             x = np.asarray(x)
             global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]

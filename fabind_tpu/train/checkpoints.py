@@ -216,3 +216,27 @@ def restore_params(path: str, template: Any) -> Any:
         return out
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)
+
+
+def load_params(ckpt: str, template: Any, verbose: bool = True
+                ) -> "tuple[Any, Any]":
+    """One-stop parameter load for eval/sample/serve-style drivers: a torch
+    .bin/.pt is auto-converted (missing/unused reported), anything else is
+    an orbax checkpoint (StandardCheckpointer dir or a training run's
+    checkpoint dir, restore_params semantics). Returns (params on device,
+    report dict or None). Shared so the drivers cannot drift apart in how
+    they read checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    if ckpt.endswith(".bin") or ckpt.endswith(".pt"):
+        from fabind_tpu.train.convert import convert_checkpoint
+        params, report = convert_checkpoint(ckpt, template)
+        if verbose:
+            print(f"converted torch ckpt: {report['n_torch']} tensors, "
+                  f"{len(report['missing'])} missing, "
+                  f"{len(report['unused'])} unused")
+            if report["missing"]:
+                print("MISSING:", report["missing"][:20])
+    else:
+        params, report = restore_params(ckpt, template), None
+    return jax.tree_util.tree_map(jnp.asarray, params), report

@@ -144,3 +144,21 @@ def test_hard_limit_bounds_pathological_graphs():
                                               limit=HARD_ISO_LIMIT)
     assert truncated
     assert len(isos) == HARD_ISO_LIMIT
+
+
+def test_timeout_bounds_enumeration_wall_clock():
+    """VF2 can backtrack exponentially BETWEEN matches; timeout_s bounds
+    wall clock like the reference's 10s SIGALRM (get_sym_rmsd.py:12-24),
+    returning at least the identity with truncated=True."""
+    import time
+
+    n = 12
+    edges = [(0, i) for i in range(1, n)]
+    labels = [616] + [604] * (n - 1)   # 11! automorphisms
+    t0 = time.monotonic()
+    isos, truncated = enumerate_automorphisms(
+        n, edges, labels, limit=10 ** 9, timeout_s=0.2)
+    assert time.monotonic() - t0 < 10
+    assert truncated
+    assert len(isos) >= 1
+    assert (isos[0] == np.arange(n)).all()
