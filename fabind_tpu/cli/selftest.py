@@ -30,6 +30,13 @@ def _check(name: str, t0: float, **extra) -> None:
           flush=True)
 
 
+def _require(cond: bool, msg) -> None:
+    """Explicit health check: `assert` would be stripped under python -O,
+    making a broken install pass the deployment gate silently."""
+    if not cond:
+        raise RuntimeError(f"selftest check failed: {msg}")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="fabind",
@@ -79,9 +86,9 @@ def main(argv=None) -> int:
         coords, conf = jax.jit(lambda v, b: model.apply(
             v, b, method="inference"))(variables, batch)
         coords = np.asarray(jax.device_get(coords), np.float32)
-        assert coords.shape == (batch_size, cfg.shapes.max_ligand, 3), \
-            coords.shape
-        assert np.isfinite(coords).all(), "non-finite coordinates"
+        _require(coords.shape == (batch_size, cfg.shapes.max_ligand, 3),
+                 coords.shape)
+        _require(np.isfinite(coords).all(), "non-finite coordinates")
         _check(label, t, coords_shape=list(coords.shape),
                dtype="bf16" if args.bf16 else "fp32")
         return model, variables, batch
@@ -102,11 +109,10 @@ def main(argv=None) -> int:
         state, metrics = step(state, batch)
         loss = float(jax.device_get(metrics["loss"]))
         gnorm = float(jax.device_get(metrics["grad_norm"]))
-        assert np.isfinite(loss), f"non-finite loss {loss}"
-        assert np.isfinite(gnorm) and gnorm > 0, f"bad grad norm {gnorm}"
-        assert int(jax.device_get(state.step)) == 1
-        # NOTE: the first update itself is zero by design (warmup LR starts
-        # at 0), so gradient flow — not a param delta — is the health signal
+        _require(np.isfinite(loss), f"non-finite loss {loss}")
+        _require(np.isfinite(gnorm) and gnorm > 0, f"bad grad norm {gnorm}")
+        _require(int(jax.device_get(state.step)) == 1, "step count != 1")
+        # gradient flow — not a param delta — is the health signal here
         _check("train_step", t, loss=round(loss, 4),
                grad_norm=round(gnorm, 4))
 

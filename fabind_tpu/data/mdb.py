@@ -275,19 +275,23 @@ class Env:
     buffered and the whole file is rebuilt on sync/close."""
 
     def __init__(self, path: str, readonly: bool = True,
-                 map_size: int = 0, **_ignored):
+                 map_size: int = 0, subdir: bool = True, **_ignored):
         self.path = path
         self.readonly = readonly
         self._pending: Optional[Dict[bytes, bytes]] = None
         self._dirty = False
+        self._mmap = None
         data = os.path.join(path, "data.mdb")
-        if os.path.isfile(path):   # subdir=False style
+        # subdir=False (lmdb.open parity): `path` IS the data file — also
+        # honored for NEW files, where isfile() alone can't tell (writing a
+        # path/data.mdb directory there would diverge from the format the
+        # real binding expects)
+        if os.path.isfile(path) or not subdir:
             data = path
             self.path = os.path.dirname(path)
         self._file = data          # sync() must rewrite THIS file
         if os.path.exists(data):
-            with builtins.open(data, "rb") as f:
-                self._buf = f.read()
+            self._load(data)
             self._parse_meta()
         elif readonly:
             raise FileNotFoundError(data)
@@ -295,6 +299,23 @@ class Env:
             self._buf = b""
             self._root = P_INVALID
             self._entries = 0
+
+    def _load(self, data: str) -> None:
+        """Map the store instead of slurping it: the multi-GB protein/ESM2
+        LMDBs would otherwise be copied into RAM once per open (3 stores
+        open simultaneously in dataset.py) on hosts without the C lmdb
+        binding. mmap supports the same slicing/unpack_from access."""
+        if self._mmap is not None:
+            self._mmap.close()
+            self._mmap = None
+        with builtins.open(data, "rb") as f:
+            try:
+                import mmap
+                self._mmap = mmap.mmap(f.fileno(), 0,
+                                       access=mmap.ACCESS_READ)
+                self._buf = self._mmap
+            except (ValueError, OSError):   # zero-length file
+                self._buf = f.read()
 
     # -- metadata ----------------------------------------------------------
     def _parse_meta(self):
@@ -421,9 +442,12 @@ class Env:
             return
         merged = dict(self._read_all())
         merged.update(self._pending or {})
+        if self._mmap is not None:   # unmap before rewriting the file
+            self._mmap.close()
+            self._mmap = None
+            self._buf = b""
         write_env(self.path, merged, data_file=self._file)
-        with builtins.open(self._file, "rb") as f:
-            self._buf = f.read()
+        self._load(self._file)
         self._parse_meta()
         self._pending = None
         self._dirty = False
@@ -442,6 +466,11 @@ class Env:
     def close(self):
         if self._dirty:
             self.sync()
+        if self._mmap is not None:
+            self._mmap.close()
+            self._mmap = None
+            self._buf = b""
+            self._root = P_INVALID
 
     def __enter__(self):
         return self

@@ -107,8 +107,12 @@ def dummy_batch(shapes, batch_size: int = 2, key=None,
     las = las.at[:, idx[1:], idx[:-1]].set(True)
     las = las & lig_mask[:, :, None] & lig_mask[:, None, :]
 
-    # pocket = nearest residues to ligand centroid
-    com = jnp.mean(jnp.where(lig_mask[..., None], lig_coords, 0.0), axis=1)
+    # pocket = nearest residues to ligand centroid (mean over VALID atoms —
+    # dividing by padded Nc would bias the pocket-center label the real
+    # pipeline computes from real atoms only, batching.py build_sample)
+    n_valid_lig = jnp.maximum(jnp.sum(lig_mask, axis=1), 1)[:, None]
+    com = jnp.sum(jnp.where(lig_mask[..., None], lig_coords, 0.0),
+                  axis=1) / n_valid_lig
     d = jnp.linalg.norm(prot_xyz - com[:, None], axis=-1)
     d = jnp.where(prot_mask, d, 1e9)
     n_keep = min(Np, nr)
@@ -125,8 +129,9 @@ def dummy_batch(shapes, batch_size: int = 2, key=None,
     pkt_xyz = jax.vmap(lambda p, i: p[i])(prot_xyz, pocket_idx)
     pkt_center = jnp.sum(jnp.where(pocket_mask[..., None], pkt_xyz, 0.0), 1) / \
         jnp.maximum(jnp.sum(pocket_mask, 1), 1)[:, None]
-    init = rdkit - jnp.mean(jnp.where(lig_mask[..., None], rdkit, 0.0), 1,
-                            keepdims=True) + pkt_center[:, None]
+    init = rdkit - (jnp.sum(jnp.where(lig_mask[..., None], rdkit, 0.0), 1,
+                            keepdims=True)
+                    / n_valid_lig[:, None]) + pkt_center[:, None]
 
     lr = jnp.max(jnp.where(lig_mask,
                            jnp.linalg.norm(lig_coords - com[:, None], axis=-1),

@@ -34,11 +34,14 @@ class RowAttentionBlock(nn.Module):
     def __call__(self, node_embed_i: Array, node_embed_j: Array,
                  pair_embed: Array, pair_mask: Array, node_mask_i: Array,
                  deterministic: bool = True) -> Array:
-        res = node_embed_i
+        # the reference REASSIGNS node_embed_i to its layernorm before the
+        # residual add (cross_att.py:120-122,128), so with layernorm on the
+        # residual base is the NORMALIZED embedding, not the raw input
         if not self.rm_layernorm:
             node_embed_i = nn.LayerNorm(epsilon=1e-5, name="layernorm_node_i")(node_embed_i)
             node_embed_j = nn.LayerNorm(epsilon=1e-5, name="layernorm_node_j")(node_embed_j)
             pair_embed = nn.LayerNorm(epsilon=1e-5, name="layernorm_pair")(pair_embed)
+        res = node_embed_i
         # (*, 1, I, J) mask bias + (*, H, I, J) gated pair bias
         mask_bias = INF * (pair_mask.astype(pair_embed.dtype) - 1.0)
         mask_bias = mask_bias[..., None, :, :]
@@ -66,9 +69,11 @@ class RowTriangleAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, pair_embed: Array, pair_mask: Array, dist_embed: Array,
                  deterministic: bool = True) -> Array:
-        res = pair_embed
+        # residual base is the layernormed pair embedding, as in the
+        # reference's reassignment (cross_att.py:79-80,86)
         if not self.rm_layernorm:
             pair_embed = nn.LayerNorm(epsilon=1e-5, name="layernorm")(pair_embed)
+        res = pair_embed
         mask_bias = INF * (pair_mask.astype(pair_embed.dtype) - 1.0)
         mask_bias = mask_bias[..., :, None, None, :]          # (*, I, 1, 1, J)
         dist_bias = (

@@ -10,10 +10,20 @@ from fabind_tpu.config import TrainConfig
 
 
 def build_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Reference-exact scheduler family (main_fabind.py:263-287):
+    - warmup: LinearLR(start_factor=0.5) — 0.5*lr -> lr, NOT from zero;
+    - exp_decay: ExponentialLR(gamma=0.995) per step;
+    - cosine_decay: CosineAnnealingLR(eta_min=1e-5);
+    - cosine_decay_restart: CosineAnnealingWarmRestarts(T_0=10,
+      eta_min=1e-4) — a 10-STEP restart period (the reference steps the
+      scheduler per batch, so T_0 counts batches, not epochs).
+    With gradient accumulation the reference also steps the scheduler once
+    per optimizer update (training.py:109-112), matching MultiSteps'
+    per-update schedule advance — no horizon correction needed."""
     warmup_steps = cfg.warmup_epochs * cfg.steps_per_epoch
     main_steps = max(
         (cfg.total_epochs - cfg.warmup_epochs) * cfg.steps_per_epoch, 1)
-    warmup = optax.linear_schedule(0.0, cfg.lr, warmup_steps)
+    warmup = optax.linear_schedule(0.5 * cfg.lr, cfg.lr, warmup_steps)
     name = cfg.lr_scheduler
     if name == "constant":
         main = optax.constant_schedule(cfg.lr)
@@ -21,16 +31,19 @@ def build_schedule(cfg: TrainConfig) -> optax.Schedule:
         main = optax.polynomial_schedule(cfg.lr, 0.0, power=1.0,
                                          transition_steps=main_steps)
     elif name == "exp_decay":
-        main = optax.exponential_decay(cfg.lr, main_steps, 0.01)
+        main = optax.exponential_decay(cfg.lr, transition_steps=1,
+                                       decay_rate=0.995)
     elif name == "cosine_decay":
-        main = optax.cosine_decay_schedule(cfg.lr, main_steps)
+        main = optax.cosine_decay_schedule(cfg.lr, main_steps,
+                                           alpha=1e-5 / cfg.lr)
     elif name == "cosine_decay_restart":
-        n_restarts = 4
-        per = max(main_steps // n_restarts, 1)
-        scheds = [optax.cosine_decay_schedule(cfg.lr, per)
-                  for _ in range(n_restarts)]
-        main = optax.join_schedules(scheds, [per * (i + 1)
-                                             for i in range(n_restarts - 1)])
+        import jax.numpy as jnp
+        t0, eta = 10, 1e-4
+
+        def main(t):
+            tc = jnp.mod(t, t0)
+            return eta + 0.5 * (cfg.lr - eta) * (
+                1 + jnp.cos(jnp.pi * tc / t0))
     else:
         raise ValueError(name)
     return optax.join_schedules([warmup, main], [warmup_steps])

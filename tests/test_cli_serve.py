@@ -15,8 +15,9 @@ def _capture_serve(monkeypatch):
     import fabind_tpu.serve_http as sh
     captured = {}
 
-    def fake(engine, host="127.0.0.1", port=8400):
+    def fake(engine, host="127.0.0.1", port=8400, **kw):
         captured["engine"], captured["hp"] = engine, (host, port)
+        captured["kw"] = kw
 
     monkeypatch.setattr(sh, "serve_forever", fake)
     return captured

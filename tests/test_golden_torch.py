@@ -190,3 +190,63 @@ def test_golden_cross_attention_base():
     np.testing.assert_allclose(np.asarray(fc) * cm, tc.numpy() * cm, atol=1e-5)
     np.testing.assert_allclose(np.asarray(fpair) * zm, tpair.numpy() * zm,
                                atol=1e-5)
+
+
+def test_golden_cross_attention_with_layernorm():
+    """rm_layernorm=False variant vs torch: the reference REASSIGNS the
+    embeddings to their layernorm before the residual add
+    (cross_att.py:120-122,128), so the residual base is the NORMALIZED
+    value — a port that keeps the raw input as the residual base diverges
+    in every cross-attention block (round-2 review finding)."""
+    ref = load_ref_models(REF_BASE)
+    torch.manual_seed(3)
+    tm = ref.cross_att.CrossAttentionModule(
+        node_hidden_dim=HID, pair_hidden_dim=HID, rm_layernorm=False,
+        keep_trig_attn=False, dist_hidden_dim=HID,
+        normalize_coord=lambda x: x / CS)
+    tm.eval()
+
+    rng = np.random.default_rng(4)
+    B, P, C = 2, 6, 5
+    p = rng.normal(0, 1, (B, P, HID)).astype(np.float32)
+    c = rng.normal(0, 1, (B, C, HID)).astype(np.float32)
+    pair = rng.normal(0, 1, (B, P, C, HID)).astype(np.float32)
+    p_mask = np.ones((B, P), bool)
+    c_mask = np.ones((B, C), bool)
+    p_mask[1, 4:] = False
+    c_mask[1, 3:] = False
+    pair_mask = p_mask[:, :, None] & c_mask[:, None, :]
+    pair = pair * pair_mask[..., None]
+    p = p * p_mask[..., None]
+    c = c * c_mask[..., None]
+
+    with torch.no_grad():
+        tp, tc, tpair = tm(torch.from_numpy(p), torch.from_numpy(p_mask),
+                           torch.from_numpy(c), torch.from_numpy(c_mask),
+                           torch.from_numpy(pair),
+                           torch.from_numpy(pair_mask))
+
+    fm = CrossAttentionModule(rm_layernorm=False, keep_trig_attn=False,
+                              dropout_rate=0.1)
+    k = jax.random.PRNGKey(0)
+    variables = fm.init({"params": k, "dropout": k}, jnp.asarray(p),
+                        jnp.asarray(p_mask), jnp.asarray(c),
+                        jnp.asarray(c_mask), jnp.asarray(pair),
+                        jnp.asarray(pair_mask), deterministic=True)
+    params, missing, unused = convert_state_dict(
+        tm.state_dict(), variables["params"])
+    assert not missing, missing
+    assert not unused, unused
+    fp, fc, fpair = fm.apply({"params": params}, jnp.asarray(p),
+                             jnp.asarray(p_mask), jnp.asarray(c),
+                             jnp.asarray(c_mask), jnp.asarray(pair),
+                             jnp.asarray(pair_mask), deterministic=True)
+    pm = p_mask[..., None]
+    cm = c_mask[..., None]
+    zm = pair_mask[..., None]
+    np.testing.assert_allclose(np.asarray(fp) * pm, tp.numpy() * pm,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fc) * cm, tc.numpy() * cm,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fpair) * zm, tpair.numpy() * zm,
+                               atol=1e-5)

@@ -272,10 +272,13 @@ def test_confidence_pipeline_end_to_end(tmp_path):
                    + SHAPE_SETS)
 
     conf_out = str(tmp_path / "conf")
+    # num-copies 4: with 2 copies each complex contributes ONE ranking
+    # pair, so epoch metrics are dropout-noise-dominated and the loss can
+    # spike on an unlucky last epoch; 4 copies -> 6 pairs per complex
     conf_cli.main(["--data", root, "--output", conf_out,
                    "--init-ckpt", os.path.join(reg_out, "ckpt"),
                    "--epochs", "5", "--batch-size", "2",
-                   "--num-copies", "2"] + SHAPE_SETS)
+                   "--num-copies", "4"] + SHAPE_SETS)
 
     log = open(os.path.join(conf_out, "log.txt")).read()
     assert "initialized backbone from" in log

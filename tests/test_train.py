@@ -36,8 +36,7 @@ def test_train_step_updates_params(train_setup):
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["skipped_nan"]) == 0.0
-    # warmup lr is 0 at step 0 (reference warmup semantics) -> take a second
-    # step before asserting params moved
+    # take a second step so the delta accumulates over two updates
     state3, metrics = step(state2, batch)
     assert float(metrics["skipped_nan"]) == 0.0
     d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
@@ -129,9 +128,26 @@ def test_schedule_shapes():
     from fabind_tpu.train.schedule import build_schedule
     cfg = preset("fabind", **TINY).train
     s = build_schedule(cfg)
-    assert float(s(0)) == 0.0
+    # reference warmup is LinearLR(start_factor=0.5): 0.5*lr, NOT zero
+    # (main_fabind.py:265-271)
+    assert abs(float(s(0)) - 0.5 * cfg.lr) < 1e-9
     w = cfg.warmup_epochs * cfg.steps_per_epoch
     assert abs(float(s(w)) - cfg.lr) < 1e-8
+
+    import dataclasses
+    # exp_decay: ExponentialLR(gamma=0.995) per step (main_fabind.py:278)
+    se = build_schedule(dataclasses.replace(cfg, lr_scheduler="exp_decay"))
+    assert abs(float(se(w + 100)) - cfg.lr * 0.995 ** 100) < 1e-9
+    # cosine_decay floors at eta_min=1e-5 (main_fabind.py:280)
+    m = (cfg.total_epochs - cfg.warmup_epochs) * cfg.steps_per_epoch
+    sc = build_schedule(dataclasses.replace(cfg,
+                                            lr_scheduler="cosine_decay"))
+    assert abs(float(sc(w + m)) - 1e-5) < 1e-9
+    # cosine_decay_restart: 10-step period, eta_min=1e-4
+    sr = build_schedule(dataclasses.replace(
+        cfg, lr_scheduler="cosine_decay_restart"))
+    assert abs(float(sr(w)) - cfg.lr) < 1e-9
+    assert abs(float(sr(w + 10)) - float(sr(w))) < 1e-9
 
 
 def test_confidence_ranking_loss():
