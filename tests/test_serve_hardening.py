@@ -118,3 +118,52 @@ def test_protein_cache_lru_bounded(monkeypatch):
     assert len(eng._protein_cache) == 256
     assert "/fake/299.pdb" in eng._protein_cache
     assert "/fake/0.pdb" not in eng._protein_cache
+
+
+def test_engine_refuses_nonoverlapping_ckpt(tmp_path):
+    """A torch checkpoint that fills none of the model's params must raise
+    at engine construction instead of serving fresh-init garbage."""
+    import torch
+
+    bad = tmp_path / "junk.bin"
+    torch.save({"some.module.weight": torch.zeros(3, 3)}, str(bad))
+    cfg = preset("fabind", **TINY)
+    try:
+        DockingEngine(cfg, ckpt=str(bad), batch_size=2, bf16=False)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "filled none" in str(e)
+
+
+def test_restore_params_refuses_zero_overlap(tmp_path):
+    """restore_params on a checkpoint sharing no keys with the template
+    raises; a PARTIAL overlap (confidence superset) still restores."""
+    import jax.numpy as jnp
+
+    from fabind_tpu.train import checkpoints
+
+    full = {"trunk": {"w": jnp.ones((2, 2))},
+            "ranking_head": {"w": jnp.zeros((2,))}}
+    ckpt_dir = tmp_path / "run" / "ckpt"
+    # write a params-only StandardCheckpointer step dir (legacy layout)
+    checkpoints.save_params(str(ckpt_dir / "step_1"),
+                            {"params": {"trunk": {"w": jnp.full((2, 2),
+                                                                7.0)}}})
+    out = checkpoints.restore_params(str(ckpt_dir), full)
+    assert float(out["trunk"]["w"][0, 0]) == 7.0           # restored
+    assert float(out["ranking_head"]["w"][0]) == 0.0       # template kept
+
+    wrong = {"other": {"w": jnp.ones((4,))}}
+    try:
+        checkpoints.restore_params(str(ckpt_dir), wrong)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "shares no parameters" in str(e)
+
+    # shape mismatch on an overlapping leaf raises with the path
+    bad_shape = {"trunk": {"w": jnp.ones((3, 3))}}
+    try:
+        checkpoints.restore_params(str(ckpt_dir), bad_shape)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "shape" in str(e)
