@@ -95,11 +95,9 @@ def main():
     log(f"init in {time.perf_counter()-t:.1f}s")
 
     if use_bf16:
-        cast = lambda t: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-        variables = cast(variables)
-        batch = cast(batch)
+        from fabind_tpu.utils.precision import cast_tree_bf16
+        variables = cast_tree_bf16(variables)
+        batch = cast_tree_bf16(batch)
         jax.block_until_ready((variables, batch))
 
     @jax.jit

@@ -68,9 +68,8 @@ def main(argv=None) -> int:
     def cast(tree):
         if not args.bf16:
             return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+        from fabind_tpu.utils.precision import cast_tree_bf16
+        return cast_tree_bf16(tree)
 
     def forward(cfg, batch_size, n_lig, n_prot, label):
         t = time.perf_counter()

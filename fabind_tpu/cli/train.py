@@ -146,8 +146,8 @@ def main(argv=None):
     train_step = make_sharded_train_step(model, cfg, mesh)
     # the reference evaluates both the teacher-forced pocket (stage 1) and
     # the predicted-pocket path (stage 2) each epoch (main_fabind.py:554-589)
-    eval_steps = {1: make_eval_step(model, cfg, stage=1),
-                  2: make_eval_step(model, cfg, stage=2)}
+    eval_steps = {1: make_eval_step(model, stage=1),
+                  2: make_eval_step(model, stage=2)}
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(state.params))

@@ -9,7 +9,8 @@ compute path is pure XLA. See DESIGN.md "Pallas decision" for the numbers
 and the re-audit procedure (--profile-dir on the CLIs).
 """
 
-from fabind_tpu.ops.pallas.edge_gate import (phi_rank1, phi_rank1_pallas,
-                                             phi_rank1_reference)
+from fabind_tpu.ops.pallas.edge_gate import (phi_rank1_pallas,
+                                             phi_rank1_reference,
+                                             phi_rank1_tpu)
 
-__all__ = ["phi_rank1", "phi_rank1_pallas", "phi_rank1_reference"]
+__all__ = ["phi_rank1_pallas", "phi_rank1_reference", "phi_rank1_tpu"]

@@ -107,13 +107,7 @@ def _phi_bwd(act, res, g):
 phi_rank1_tpu.defvjp(_phi_fwd, _phi_bwd)
 
 
-def phi_rank1(l1_v: Array, r: Array, u: Array, w2: Array,
-              act: str = "silu") -> Array:
-    """Dispatch: Pallas kernel on TPU when FABIND_USE_PALLAS=1, jnp
-    reference otherwise (the measured-faster default — DESIGN.md
-    "Pallas decision": 105.6 vs 101.8 complexes/s end-to-end)."""
-    import os
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("FABIND_USE_PALLAS") == "1"):
-        return phi_rank1_tpu(l1_v, r, u, w2, act)
-    return phi_rank1_reference(l1_v, r, u, w2, act=act)
+# NOTE: the production dispatch lives in MLPBlock.finish_scalar_rank1
+# (models/layers.py) — it carries extra guards (active dropout,
+# is_initializing, act whitelist) a bare dispatcher here could not, so no
+# second dispatch function is exported from this module.

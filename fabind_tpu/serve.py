@@ -153,10 +153,8 @@ class DockingEngine:
                     from fabind_tpu.train import checkpoints
                     params = checkpoints.restore_params(ckpt, params)
         if bf16:
-            params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-                params)
+            from fabind_tpu.utils.precision import cast_tree_bf16
+            params = cast_tree_bf16(params)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
     def warmup(self) -> float:
@@ -514,8 +512,5 @@ class DockingEngine:
 
 
 def _cast_batch_bf16(batch):
-    import jax
-    import jax.numpy as jnp
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == np.float32 else x, batch)
+    from fabind_tpu.utils.precision import cast_tree_bf16
+    return cast_tree_bf16(batch)

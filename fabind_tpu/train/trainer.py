@@ -60,11 +60,9 @@ def make_train_step(model: FABind, cfg: FABindConfig):
             # is a no-op — fp32 inputs re-promote each matmul to fp32; the
             # serving path, serve.py _cast_batch_bf16, casts both for the
             # same reason). Losses read the original fp32 batch.
-            cast = lambda x: (x.astype(jnp.bfloat16)
-                              if hasattr(x, "dtype") and x.dtype == jnp.float32
-                              else x)
-            p = jax.tree_util.tree_map(cast, params)
-            b = jax.tree_util.tree_map(cast, batch)
+            from fabind_tpu.utils.precision import cast_tree_bf16
+            p = cast_tree_bf16(params)
+            b = cast_tree_bf16(batch)
         dk, sk = jax.random.split(key)
         out = model.apply({"params": p}, b, train=True,
                           rngs={"dropout": dk, "sample": sk})
@@ -127,7 +125,7 @@ def make_sharded_train_step(model: FABind, cfg: FABindConfig, mesh: Mesh):
     return sharded_step
 
 
-def make_eval_step(model: FABind, cfg: FABindConfig, stage: int = 2):
+def make_eval_step(model: FABind, stage: int = 2):
     @jax.jit
     def eval_step(params, batch):
         out = model.apply({"params": params}, batch, train=False, stage=stage)

@@ -4,9 +4,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import dataclasses
 import glob
-import gzip
 import json
-import sys
 import time
 
 import jax
@@ -39,11 +37,9 @@ def main():
         stage=2))()
     batch = jax.jit(lambda: dummy_batch(cfg.shapes, batch_size=B,
                                         n_lig_valid=48, n_prot_valid=400))()
-    to_bf16 = lambda t: jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-    vb = to_bf16(variables)
-    bb = to_bf16(batch)
+    from fabind_tpu.utils.precision import cast_tree_bf16
+    vb = cast_tree_bf16(variables)
+    bb = cast_tree_bf16(batch)
     jax.block_until_ready((vb, bb))
 
     @jax.jit
@@ -66,13 +62,10 @@ def main():
     data, _ = r2t.xspace_to_tool_data(xspace, "op_profile", {})
     prof = json.loads(data)
 
-    def walk(node, depth=0, path=""):
-        m = node.get("metrics", {})
-        yield (m.get("rawTime", 0.0), node.get("name", "?"), depth)
-        for c in node.get("children", []):
-            yield from walk(c, depth + 1)
-
     root = prof.get("byProgram") or prof.get("byCategory")
+    if root is None:
+        raise SystemExit(f"unexpected op_profile shape; top-level keys: "
+                         f"{sorted(prof)}")
     rows = []
     def collect(node, path=()):
         m = node.get("metrics", {})
@@ -86,7 +79,7 @@ def main():
     total = sum(r[0] for r in rows)
     log(f"total leaf time {total:.3g}")
     for t, name, fl in rows[:40]:
-        log(f"{100*t/max(total,1e-9):5.1f}%  {name[:160]}")
+        log(f"{100*t/max(total,1e-9):5.1f}%  flops={fl:.3g}  {name[:150]}")
 
 
 if __name__ == "__main__":

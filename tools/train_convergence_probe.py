@@ -72,8 +72,6 @@ def main(argv=None):
     data = args.data
     tmp = None
     if data is None:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
-                                        "..", "tests"))
         from fixture_pdbbind import make_reference_fixture
         tmp = tempfile.mkdtemp(prefix="fabind_convergence_")
         make_reference_fixture(tmp)
@@ -106,26 +104,37 @@ def main(argv=None):
     mesh = make_mesh(1)
     state = replicate(state, mesh)
     tstep = make_sharded_train_step(model, cfg, mesh)
-    estep = make_eval_step(model, cfg, stage=2)
+    estep = make_eval_step(model, stage=2)
 
     def eval_rmsd():
         rs = []
         for eb in eval_loader.epoch(0):
             out = estep(state.params, eb)
-            rs.append(ligand_rmsd(np.asarray(out.coords),
-                                  np.asarray(eb.lig_coords),
-                                  np.asarray(out.lig_mask)))
+            r = ligand_rmsd(np.asarray(out.coords),
+                            np.asarray(eb.lig_coords),
+                            np.asarray(out.lig_mask))
+            # trailing batches are padded by repeating the last sample;
+            # counting the duplicates would weight one complex batch_size x
+            if eb.sample_valid is not None:
+                r = r[np.asarray(eb.sample_valid)]
+            rs.append(r)
         return np.concatenate(rs)
 
     t0 = time.time()
     losses = []
+    n_skipped = 0
     step = 0
     epoch = 0
     while step < args.steps:
         for batch in train_loader.epoch(epoch):
             batch = shard_batch(batch, mesh)
             state, m = tstep(state, batch)
-            losses.append(float(m["loss"]))
+            # NaN-skipped steps report sanitized loss=0 — including them
+            # would drag loss_last toward 0 and fake convergence
+            if float(m.get("skipped_nan", 0.0)) > 0:
+                n_skipped += 1
+            else:
+                losses.append(float(m["loss"]))
             step += 1
             if step % args.eval_every == 0 or step == args.steps:
                 r = eval_rmsd()
@@ -140,13 +149,15 @@ def main(argv=None):
     r = eval_rmsd()
     k = max(1, len(losses) // 10)
     res = {"steps": step,
+           "skipped_nan_steps": n_skipped,
            "loss_first": float(np.mean(losses[:k])),
            "loss_last": float(np.mean(losses[-k:])),
            "rmsd_lt2": float((r < 2).mean()),
            "rmsd_mean": float(r.mean()),
            "seconds": round(time.time() - t0, 1)}
     res["converged"] = bool(res["loss_last"] < 0.25 * res["loss_first"]
-                            and res["rmsd_lt2"] >= 0.75)
+                            and res["rmsd_lt2"] >= 0.75
+                            and n_skipped < step * 0.05)
     print(json.dumps(res))
     if args.out:
         json.dump(res, open(args.out, "w"), indent=2)
