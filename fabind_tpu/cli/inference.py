@@ -41,6 +41,12 @@ def main(argv=None):
                         "dtype); default fp32")
     p.add_argument("--esm-device", default="cpu")
     p.add_argument("--write-mol2", action="store_true")
+    p.add_argument("--ligand-sdf-dir", default=None,
+                   help="dock SDF conformers instead of generating them "
+                        "from SMILES: per row, the ligand is "
+                        "DIR/{id}/{id}_ligand.sdf or DIR/{id}.sdf (the "
+                        "reference's gt_mol_files layout). Works without "
+                        "RDKit (pure V2000 reader/writer).")
     args = p.parse_args(argv)
 
     from fabind_tpu.config import preset
@@ -62,15 +68,24 @@ def main(argv=None):
     requests, metas = [], []
     for row in rows:
         smiles = row.get("Cleaned_SMILES") or row.get("smiles")
-        pdb = row.get("pdb_file") or row.get("pdb")
-        requests.append((smiles, os.path.join(args.pdb_dir, pdb + ".pdb")))
-        metas.append({"smiles": smiles, "pdb": pdb})
+        pdb = row.get("pdb_file") or row.get("pdb") or row.get("pdb_id")
+        lig_id = row.get("ligand_id") or pdb
+        if args.ligand_sdf_dir:
+            cand = [os.path.join(args.ligand_sdf_dir, lig_id,
+                                 lig_id + "_ligand.sdf"),
+                    os.path.join(args.ligand_sdf_dir, lig_id + ".sdf")]
+            lig = next((c for c in cand if os.path.exists(c)), cand[-1])
+            requests.append((lig, os.path.join(args.pdb_dir, pdb + ".pdb")))
+            metas.append({"smiles": smiles or lig_id, "pdb": pdb})
+        else:
+            requests.append(
+                (smiles, os.path.join(args.pdb_dir, pdb + ".pdb")))
+            metas.append({"smiles": smiles, "pdb": pdb})
 
-    poses = engine.dock_smiles(requests)
+    poses = (engine.dock_sdf(requests) if args.ligand_sdf_dir
+             else engine.dock_smiles(requests))
 
     # ---- write SDFs ----
-    from rdkit import Chem
-    from rdkit.Geometry import Point3D
     index_rows = []
     n_skipped = 0
     for meta, pose in zip(metas, poses):
@@ -80,19 +95,27 @@ def main(argv=None):
             n_skipped += 1
             print(f"SKIP {meta['pdb']} / {meta['smiles'][:40]}: {pose.error}")
             continue
-        mol = pose.mol
-        conf = mol.GetConformer()
-        for i in range(mol.GetNumAtoms()):
-            x, y, z = map(float, pose.coords[i])
-            conf.SetAtomPosition(i, Point3D(x, y, z))
         # deterministic across runs (str hash() is randomized per process)
         import zlib
         name = f"{meta['pdb']}_{zlib.crc32(meta['smiles'].encode()):08x}"
         sdf = os.path.join(args.output, name + ".sdf")
-        w = Chem.SDWriter(sdf)
-        w.SetKekulize(False)
-        w.write(mol)
-        w.close()
+        if pose.sdf_meta is not None:    # dock_sdf: RDKit-free writer
+            from fabind_tpu.data.featurize import write_sdf
+            write_sdf(sdf, pose.sdf_meta["symbols"], pose.coords,
+                      pose.sdf_meta["bonds"], name=name,
+                      charges=pose.sdf_meta["charges"])
+        else:
+            from rdkit import Chem
+            from rdkit.Geometry import Point3D
+            mol = pose.mol
+            conf = mol.GetConformer()
+            for i in range(mol.GetNumAtoms()):
+                x, y, z = map(float, pose.coords[i])
+                conf.SetAtomPosition(i, Point3D(x, y, z))
+            w = Chem.SDWriter(sdf)
+            w.SetKekulize(False)
+            w.write(mol)
+            w.close()
         row = {"pdb": meta["pdb"], "smiles": meta["smiles"], "sdf": sdf}
         if cfg.model.flexible_docking and pose.pocket_coords is not None:
             pkt_npz = os.path.join(args.output, name + "_pocket.npz")

@@ -302,6 +302,215 @@ def sdf_coords(sdf_path: str) -> np.ndarray:
     return out
 
 
+# --------------------------------------------- pure-Python SDF featurization
+
+# element -> atomic number, for iso_labels without RDKit (covers the
+# ATOM_VOCAB plus common organics; unknowns fall back to 0)
+ATOMIC_NUM = {"H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9, "Na": 11,
+              "Mg": 12, "Si": 14, "P": 15, "S": 16, "Cl": 17, "K": 19,
+              "Ca": 20, "Fe": 26, "Cu": 29, "Zn": 30, "Se": 34, "Br": 35,
+              "Sn": 50, "I": 53}
+
+# default valences for the implicit-H estimate when an SDF carries no
+# explicit hydrogens (RDKit's common-element table)
+_DEFAULT_VALENCE = {"C": 4, "N": 3, "O": 2, "S": 2, "P": 3, "B": 3,
+                    "F": 1, "Cl": 1, "Br": 1, "I": 1}
+
+# V2000 atom-block charge codes (ignored when M  CHG lines are present)
+_SDF_CHG_CODE = {0: 0, 1: 3, 2: 2, 3: 1, 5: -1, 6: -2, 7: -3}
+
+
+def parse_sdf(sdf_path: str) -> Dict:
+    """Pure-Python V2000 molfile parser (first record of the file).
+
+    Returns symbols [n], coords [n,3], charges [n] (M CHG overrides the
+    atom-block codes, per the ctfile spec), and bonds [(i, j, type)] with
+    0-based indices and V2000 type codes (1/2/3 and 4 = aromatic)."""
+    with open(sdf_path) as f:
+        return parse_sdf_text(f.read())
+
+
+def parse_sdf_text(text: str) -> Dict:
+    """parse_sdf over in-memory molfile text (the HTTP /dock_sdf body)."""
+    lines = text.splitlines()
+    counts = lines[3]
+    if "V3000" in counts:
+        raise ValueError("V3000 SDF not supported by the pure reader")
+    n_atoms, n_bonds = int(counts[:3]), int(counts[3:6])
+    symbols, coords, charges = [], [], []
+    for i in range(n_atoms):
+        ln = lines[4 + i]
+        coords.append((float(ln[0:10]), float(ln[10:20]), float(ln[20:30])))
+        symbols.append(ln[31:34].strip())
+        try:
+            charges.append(_SDF_CHG_CODE.get(int(ln[36:39]), 0))
+        except (ValueError, IndexError):
+            charges.append(0)
+    bonds = []
+    for i in range(n_bonds):
+        ln = lines[4 + n_atoms + i]
+        bonds.append((int(ln[0:3]) - 1, int(ln[3:6]) - 1, int(ln[6:9])))
+    m_chg = {}
+    for ln in lines[4 + n_atoms + n_bonds:]:
+        if ln.startswith("M  END"):
+            break
+        if ln.startswith("M  CHG"):
+            vals = ln.split()[3:]
+            for a, c in zip(vals[0::2], vals[1::2]):
+                m_chg[int(a) - 1] = int(c)
+    if m_chg:   # presence of any M CHG zeroes the atom-block codes
+        charges = [m_chg.get(i, 0) for i in range(n_atoms)]
+    return {"symbols": symbols,
+            "coords": np.asarray(coords, np.float32),
+            "charges": np.asarray(charges, np.int64),
+            "bonds": bonds}
+
+
+def _sssr_like_rings(adj: np.ndarray) -> List[List[int]]:
+    """Cycle basis of the heavy-atom graph — the pure-Python stand-in for
+    RDKit's GetSymmSSSR in the LAS mask (ring count matches SSSR; ring
+    membership can differ on bridged polycycles, documented approximation)."""
+    import networkx as nx
+    g = nx.from_numpy_array(adj)
+    return [list(c) for c in nx.cycle_basis(g)]
+
+
+def featurize_sdf(sdf_path: str) -> Dict[str, np.ndarray]:
+    """featurize_mol-equivalent from a V2000 SDF without RDKit.
+
+    Atom order is the SDF's heavy-atom order (NOT canonical-SMILES order —
+    without RDKit there is no canonicalizer; for SDF-ligand redocking the
+    order only has to be self-consistent, which it is: coords, features,
+    bonds and the output writer all use it). Feature semantics vs the
+    RDKit path (feature_utils.py:160-181):
+
+    - exact when the SDF carries explicit hydrogens and aromatic bond
+      type 4 (the reference's gt_mol_files do): degree = heavy neighbors,
+      total_num_hs = explicit H neighbors, formal charge from M CHG,
+      is_aromatic from incident type-4 bonds;
+    - total_valence = round(sum of bond orders, aromatic = 1.5) + n_H —
+      off by one vs RDKit's kekulized count on pyrrole-type aromatic
+      heteroatoms (lands in the adjacent one-hot slot);
+    - with NO explicit hydrogens, n_H is estimated from default valences
+      (C4/N3/O2/...) adjusted by formal charge — an approximation;
+    - LAS rings come from a networkx cycle basis (= SSSR count; membership
+      may differ on bridged polycycles).
+
+    Use the RDKit path (mol_from_sdf + featurize_mol) when RDKit is
+    importable; this fallback keeps SDF-ligand inference available on
+    hosts without it."""
+    return _featurize_parsed(parse_sdf(sdf_path), sdf_path)
+
+
+def featurize_sdf_text(text: str) -> Dict[str, np.ndarray]:
+    """featurize_sdf over in-memory molfile text."""
+    return _featurize_parsed(parse_sdf_text(text), "<sdf text>")
+
+
+def _featurize_parsed(p: Dict, sdf_path: str) -> Dict[str, np.ndarray]:
+    symbols, bonds = p["symbols"], p["bonds"]
+    n_all = len(symbols)
+    heavy = [i for i in range(n_all) if symbols[i] != "H"]
+    remap = {a: k for k, a in enumerate(heavy)}
+    n = len(heavy)
+    if n == 0:
+        raise ValueError(f"{sdf_path}: no heavy atoms")
+
+    n_h = np.zeros(n_all, np.int64)         # explicit H neighbors
+    order_sum = np.zeros(n_all, np.float32)  # heavy-bond order sum
+    aromatic = np.zeros(n_all, bool)
+    adj = np.zeros((n, n), np.int64)
+    heavy_bonds = []                         # (i, j, order) heavy, 0-based
+    for a, b, t in bonds:
+        if symbols[a] == "H" or symbols[b] == "H":
+            other = a if symbols[b] == "H" else b
+            n_h[other] += 1
+            continue
+        o = 1.5 if t == 4 else float(t)
+        if t == 4:
+            aromatic[a] = aromatic[b] = True
+        order_sum[a] += o
+        order_sum[b] += o
+        i, j = remap[a], remap[b]
+        adj[i, j] = adj[j, i] = 1
+        heavy_bonds.append((i, j, o))
+
+    has_explicit_h = any(s == "H" for s in symbols)
+    feats = np.zeros((n, COMPOUND_FEATURE_DIM), np.float32)
+    iso_labels = np.zeros(n, np.int64)
+    charges = p["charges"]
+    for k, a in enumerate(heavy):
+        sym = symbols[a]
+        if has_explicit_h:
+            hs = int(n_h[a])
+        else:
+            default = _DEFAULT_VALENCE.get(sym, 0)
+            # cations of N/P gain a bond slot, anions lose one (approx.)
+            hs = max(0, default + int(charges[a])
+                     - int(round(float(order_sum[a]))))
+        valence = int(round(float(order_sum[a]))) + hs
+        degree = int(adj[k].sum())
+        feats[k] = atom_property_prediction_feature(
+            sym, degree, hs, valence, int(charges[a]), bool(aromatic[a]))
+        iso_labels[k] = ATOMIC_NUM.get(sym, 0) * 100
+
+    bond_dir = []
+    for i, j, o in heavy_bonds:
+        from fabind_tpu.data.isomorphism import ref_bond_index_from_order
+        idx = ref_bond_index_from_order(o)
+        iso_labels[i] += idx
+        iso_labels[j] += idx
+        bond_dir.append((i, j, o))
+        bond_dir.append((j, i, o))
+    bond_dir.sort()
+    bond_edges = np.asarray([(i, j) for i, j, _ in bond_dir],
+                            np.int64).reshape(-1, 2)
+    bond_orders = np.asarray([o for _, _, o in bond_dir], np.float32)
+
+    las = las_mask_from_adj_rings(adj, _sssr_like_rings(adj))
+    return {"coords": p["coords"][heavy],
+            "feats": feats, "bond_edges": bond_edges,
+            "bond_orders": bond_orders, "iso_labels": iso_labels,
+            "las_mask": las.astype(bool), "smiles": None,
+            "symbols": [symbols[a] for a in heavy],
+            "heavy_bonds": heavy_bonds,
+            "charges": charges[heavy]}
+
+
+def write_sdf(path: str, symbols: Sequence[str], coords: np.ndarray,
+              bonds: Sequence[Tuple[int, int, float]], name: str = "",
+              charges: Optional[np.ndarray] = None) -> None:
+    """Pure-Python V2000 molfile writer (the no-RDKit counterpart of the
+    reference's Chem.SDWriter output, inference_mol_utils.py:146-158).
+    bonds: (i, j, order) 0-based with order 1/2/3/1.5 (1.5 -> type 4)."""
+    with open(path, "w") as f:
+        f.write(sdf_string(symbols, coords, bonds, name=name,
+                           charges=charges))
+
+
+def sdf_string(symbols: Sequence[str], coords: np.ndarray,
+               bonds: Sequence[Tuple[int, int, float]], name: str = "",
+               charges: Optional[np.ndarray] = None) -> str:
+    """write_sdf as a string (HTTP responses)."""
+    coords = np.asarray(coords, np.float32)
+    n, nb = len(symbols), len(bonds)
+    lines = [name, "  fabind_tpu", "",
+             f"{n:3d}{nb:3d}  0  0  0  0  0  0  0  0999 V2000"]
+    for s, (x, y, z) in zip(symbols, coords):
+        lines.append(f"{x:10.4f}{y:10.4f}{z:10.4f} {s:<3s} 0  0  0  0  0")
+    for i, j, o in bonds:
+        t = 4 if o == 1.5 else int(o)
+        lines.append(f"{i + 1:3d}{j + 1:3d}{t:3d}  0  0  0")
+    if charges is not None:
+        chg = [(i, int(c)) for i, c in enumerate(charges) if int(c) != 0]
+        for k in range(0, len(chg), 8):
+            grp = chg[k:k + 8]
+            lines.append("M  CHG" + f"{len(grp):3d}" + "".join(
+                f" {i + 1:3d} {c:3d}" for i, c in grp))
+    lines += ["M  END", "$$$$", ""]
+    return "\n".join(lines)
+
+
 def select_chain_within_cutoff(pdb_path: str, lig_coords: np.ndarray,
                                cutoff: float, out_path: str) -> List[str]:
     """Keep only protein chains with any clean-residue atom within `cutoff`

@@ -43,6 +43,9 @@ class Pose:
     pocket_coords: Optional[np.ndarray] = None   # [n_pocket, 3] (flexible)
     pocket_residues: Optional[np.ndarray] = None  # residue indices (flexible)
     mol: object = None                 # rdkit mol (dock_smiles/dock_mols)
+    sdf_meta: Optional[Dict] = None    # symbols/bonds/charges (dock_sdf) —
+    #                                    feeds featurize.write_sdf without
+    #                                    RDKit
     error: Optional[str] = None        # set when the request was skipped
     pocket_truncated: int = 0          # predicted-keep residues dropped by
     #                                    the Np bucket (re-dock with a larger
@@ -473,6 +476,51 @@ class DockingEngine:
             except Exception as e:
                 raws.append({"_error": f"{type(e).__name__}: {e}"})
         return self._finish_mol_requests(raws)
+
+    def dock_sdf(self, requests: Sequence[Tuple[str, str]]) -> List[Pose]:
+        """Dock (sdf_path, pdb_path) pairs without RDKit: ligands are
+        parsed and featurized by the pure-Python V2000 reader
+        (featurize.featurize_sdf — exact for explicit-H aromatic-flagged
+        SDFs like the reference's gt_mol_files, documented approximations
+        otherwise), the SDF conformer is the LAS reference + init pose
+        (redocking, reference utils.py:307-311 'rotated rdkit' init family),
+        and each Pose carries `sdf_meta` so featurize.write_sdf can emit
+        the docked pose, keeping the whole SDF-in/SDF-out workflow
+        RDKit-free. With RDKit installed prefer dock_mols
+        (canonical-order featurization, the released checkpoints'
+        convention).
+
+        Each ligand may be a path to an .sdf file or raw molfile text
+        (anything containing a newline is treated as text — the HTTP
+        /dock_sdf body)."""
+        from fabind_tpu.data import featurize as F
+
+        raws: List[Dict] = []
+        for sdf, pdb_path in requests:
+            try:
+                feat = (F.featurize_sdf_text(sdf) if "\n" in sdf
+                        else F.featurize_sdf(sdf))
+                struct, esm = self._protein_raw(pdb_path)
+                raws.append({
+                    "protein_xyz": struct["coords"][:, 1],
+                    "protein_full_coords": struct["coords"],
+                    "esm_feat": esm,
+                    "lig_coords": feat["coords"],
+                    "lig_feats": feat["feats"],
+                    "bond_edges": feat["bond_edges"],
+                    "las_mask": feat["las_mask"],
+                    "rdkit_coords": feat["coords"],
+                    "_sdf_meta": {"symbols": feat["symbols"],
+                                  "bonds": feat["heavy_bonds"],
+                                  "charges": feat["charges"]},
+                })
+            except Exception as e:
+                raws.append({"_error": f"{type(e).__name__}: {e}"})
+        poses = self._finish_mol_requests(raws)
+        for raw, pose in zip(raws, poses):
+            if pose.error is None:
+                pose.sdf_meta = raw["_sdf_meta"]
+        return poses
 
     def dock_smiles(self, requests: Sequence[Tuple[str, str]]) -> List[Pose]:
         """Dock (smiles, pdb_path) pairs: the custom-complex pipeline

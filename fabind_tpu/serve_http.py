@@ -17,6 +17,11 @@ Endpoints:
                       under "r{i}_" prefixes. Same response shape.
   POST /dock       -> body: JSON [{"smiles": ..., "pdb": server_path}, ...]
                       (requires RDKit on the server). Same response shape.
+  POST /dock_sdf   -> body: JSON [{"sdf": "<V2000 molfile text>",
+                      "pdb": server_path}, ...] — ligand conformers inline
+                      (never a server path), redocked from the given pose;
+                      RDKit-free (pure V2000 reader). Successful poses add
+                      an "sdf" field: the docked pose as molfile text.
 
 Run:  python -m fabind_tpu.cli.serve --preset fabind --ckpt best_model.bin \
           --port 8400 [--buckets auto --data ...]
@@ -97,6 +102,14 @@ def _poses_json(poses) -> bytes:
             d["pocket_coords"] = _finite_list(p.pocket_coords)
             d["pocket_residues"] = np.asarray(
                 p.pocket_residues).tolist()
+        if getattr(p, "sdf_meta", None) is not None and p.error is None \
+                and np.isfinite(np.asarray(p.coords)).all():
+            # /dock_sdf: return the docked pose as ready-to-save molfile
+            # text alongside the raw coords
+            from fabind_tpu.data.featurize import sdf_string
+            d["sdf"] = sdf_string(p.sdf_meta["symbols"], p.coords,
+                                  p.sdf_meta["bonds"],
+                                  charges=p.sdf_meta["charges"])
         out.append(d)
     return json.dumps(out).encode()
 
@@ -184,6 +197,34 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
                         pairs.append((r["smiles"], pdb))
                     with lock:
                         poses = engine.dock_smiles(pairs)
+                elif self.path == "/dock_sdf":
+                    # JSON [{"sdf": "<V2000 molfile text>", "pdb": "..."}]:
+                    # ligand conformers inline (no server-path access for
+                    # ligands), protein under the same --pdb-root guard as
+                    # /dock; RDKit-free both ways (pure V2000 reader +
+                    # sdf field in the response)
+                    reqs = json.loads(body)
+                    pairs = []
+                    for r in reqs:
+                        pdb = r["pdb"]
+                        if pdb_root is not None:
+                            pdb = os.path.realpath(
+                                os.path.join(pdb_root, pdb))
+                            if not pdb.startswith(
+                                    os.path.realpath(pdb_root) + os.sep):
+                                return self._reply(400, json.dumps(
+                                    {"error": f"pdb path {r['pdb']!r} "
+                                              "escapes --pdb-root"}).encode())
+                        sdf = r["sdf"]
+                        if "\n" not in sdf:
+                            # a bare path would read server files; inline
+                            # molfile text only on this endpoint
+                            return self._reply(400, json.dumps(
+                                {"error": "sdf must be inline molfile "
+                                          "text, not a path"}).encode())
+                        pairs.append((sdf, pdb))
+                    with lock:
+                        poses = engine.dock_sdf(pairs)
                 else:
                     return self._reply(404, b'{"error": "not found"}')
                 self._reply(200, _poses_json(poses))

@@ -136,3 +136,79 @@ def test_http_flexible_pocket_fields_and_truncation():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def _tiny_pdb(path, n_res=20, seed=7):
+    """Minimal valid PDB: n_res ALA residues with N/CA/C/O backbones."""
+    rng = np.random.RandomState(seed)
+    ca = rng.randn(n_res, 3).astype(np.float32) * 2
+    serial = 1
+    lines = []
+    for ri in range(n_res):
+        for ai, name in enumerate(["N", "CA", "C", "O"]):
+            x, y, z = ca[ri] + 0.3 * ai
+            lines.append(
+                f"ATOM  {serial:5d} {(' ' + name).ljust(4)} ALA A"
+                f"{ri + 1:4d}    {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00")
+            serial += 1
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\nEND\n")
+    return ca
+
+
+def test_http_dock_sdf_inline_molfile(tmp_path, monkeypatch):
+    """/dock_sdf: inline V2000 ligand + --pdb-root protein, RDKit-free;
+    the response carries a ready-to-save molfile of the docked pose."""
+    import fabind_tpu.data.featurize as F
+    from fabind_tpu.data.featurize import featurize_sdf_text, sdf_string
+
+    monkeypatch.setattr(
+        F, "extract_esm_feature",
+        lambda seq, **kw: np.random.RandomState(len(seq))
+        .randn(len(seq), 1280).astype(np.float32) * 0.2)
+
+    ca = _tiny_pdb(tmp_path / "prot.pdb")
+    rng = np.random.RandomState(8)
+    lig = (ca[:3].mean(0) + rng.randn(5, 3)).astype(np.float32)
+    sdf = sdf_string(["C", "C", "N", "O", "C"], lig,
+                     [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0)],
+                     name="lig")
+
+    cfg = preset("fabind", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    srv = make_server(eng, "127.0.0.1", 0, pdb_root=str(tmp_path))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json.dumps([{"sdf": sdf, "pdb": "prot.pdb"}]).encode()
+        status, poses = _post(base + "/dock_sdf", body, "application/json")
+        assert status == 200 and len(poses) == 1
+        p = poses[0]
+        assert p["error"] is None
+        arr = np.asarray(p["coords"], np.float32)
+        assert arr.shape == (5, 3) and np.isfinite(arr).all()
+        # response molfile round-trips through the pure featurizer
+        out = featurize_sdf_text(p["sdf"])
+        assert out["symbols"] == ["C", "C", "N", "O", "C"]
+        np.testing.assert_allclose(out["coords"], arr, atol=5e-4)
+
+        # ligand paths are refused on this endpoint
+        body = json.dumps([{"sdf": "/etc/passwd", "pdb": "prot.pdb"}]).encode()
+        try:
+            _post(base + "/dock_sdf", body, "application/json")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "inline molfile" in json.loads(e.read())["error"]
+
+        # pdb escape refused
+        body = json.dumps([{"sdf": sdf, "pdb": "../../etc/passwd"}]).encode()
+        try:
+            _post(base + "/dock_sdf", body, "application/json")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
