@@ -6,7 +6,10 @@ tools with one command:
 - inference mode: an index CSV of (name, smiles, pdb_file) pairs ->
   conformer generation + 56-d featurization + LAS mask + protein extraction
   + ESM2 embeddings (reference inference_preprocess_mol_confs.py,
-  inference_preprocess_protein.py, FABind/README.md:95-125).
+  inference_preprocess_protein.py, FABind/README.md:95-125). Rows may
+  carry an `sdf` column instead of generating a conformer from SMILES:
+  the given conformer is featurized by the pure-Python V2000 reader
+  (featurize.featurize_sdf — no RDKit needed).
 - pdbbind mode: the reference's preprocessed LMDB dataset directory ->
   NPZ store (so the portable format has a producer from the standard
   distribution without RDKit).
@@ -68,14 +71,22 @@ def _maybe_isomorphisms(rec, max_iso: int):
         max_iso=(max_iso if max_iso and max_iso > 0 else None))
 
 
-def _safe_mol_record(smiles, seed, n_conf):
+def _safe_mol_record(row, seed, n_conf):
     """skip-and-continue per ligand (reference fabind_inference.py:374-375
     wraps the whole batch; one bad SMILES must not abort the run). Module
-    level so multiprocessing.Pool can pickle it."""
+    level so multiprocessing.Pool can pickle it.
+
+    Rows with an `sdf` column use the given conformer via the pure-Python
+    V2000 featurizer (works without RDKit; featurize.featurize_sdf);
+    otherwise conformers are generated from the `smiles` column (RDKit)."""
+    sdf = (row.get("sdf") or "").strip()
     try:
-        return _mol_record(smiles, seed, n_conf)
+        if sdf:
+            from fabind_tpu.data.featurize import featurize_sdf
+            return [featurize_sdf(sdf)]
+        return _mol_record(row["smiles"], seed, n_conf)
     except Exception as e:
-        _log(f"skip {smiles!r}: {type(e).__name__}: {e}")
+        _log(f"skip {sdf or row.get('smiles')!r}: {type(e).__name__}: {e}")
         return None
 
 
@@ -92,10 +103,9 @@ def run_inference_mode(args):
         with Pool(args.workers) as pool:
             mol_recs = pool.starmap(
                 _safe_mol_record,
-                [(r["smiles"], args.seed, args.num_conformers) for r in rows])
+                [(r, args.seed, args.num_conformers) for r in rows])
     else:
-        mol_recs = [_safe_mol_record(r["smiles"], args.seed,
-                                     args.num_conformers)
+        mol_recs = [_safe_mol_record(r, args.seed, args.num_conformers)
                     for r in rows]
 
     protein_cache = {}
@@ -123,7 +133,8 @@ def run_inference_mode(args):
                     "iso_labels": rec["iso_labels"],
                     "las_mask": rec["las_mask"],
                     "rdkit_coords": rec["coords"],
-                    "smiles": np.asarray(rec["smiles"]),
+                    "smiles": np.asarray(rec["smiles"]
+                                         or row.get("smiles") or ""),
                     "seq": np.asarray(st["seq"]),
                 }
                 if args.isomorphisms:

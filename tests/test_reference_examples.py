@@ -145,3 +145,45 @@ def test_cli_inference_on_reference_examples(engine, tmp_path, monkeypatch):
         assert np.isfinite(parsed["coords"]).all()
         # the written pose re-featurizes (the SDF-out is a valid SDF-in)
         F.featurize_sdf(row["sdf"])
+
+
+def test_preprocess_sdf_column_builds_npz(tmp_path, monkeypatch):
+    """preprocess inference mode with an `sdf` column: featurizes the real
+    6npi ligand + protein into the NPZ store without RDKit, with
+    isomorphism injection, and the store loads through NPZSource."""
+    import fabind_tpu.data.featurize as feat
+    from fabind_tpu.cli import preprocess as pp
+    from fabind_tpu.data.dataset import NPZSource
+
+    monkeypatch.setattr(
+        feat, "extract_esm_feature",
+        lambda seq, **kw: np.random.RandomState(len(seq))
+        .randn(len(seq), 1280).astype(np.float32) * 0.2)
+
+    idx = tmp_path / "pairs.csv"
+    with open(idx, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["name", "smiles", "sdf",
+                                          "pdb_file"])
+        w.writeheader()
+        w.writerow({"name": "6npi", "smiles": "",
+                    "sdf": sdf_path("6npi"), "pdb_file": pdb_path("6npi")})
+        # a bad sdf path is skipped, not fatal (skip-and-continue)
+        w.writerow({"name": "bad", "smiles": "",
+                    "sdf": str(tmp_path / "missing.sdf"),
+                    "pdb_file": pdb_path("6npi")})
+    out = tmp_path / "npz"
+    pp.main(["inference", "--index", str(idx), "--out", str(out),
+             "--isomorphisms"])
+
+    src = NPZSource(str(out))
+    assert src.names == ["6npi"]
+    rec = src.get("6npi")
+    assert rec["lig_feats"].shape == (14, 56)
+    assert rec["protein_xyz"].shape == (274, 3)
+    assert rec["esm_feat"].shape == (274, 1280)
+    assert rec["las_mask"].shape == (14, 14)
+    iso = rec["isomorphisms"]
+    assert iso.ndim == 2 and iso.shape[1] == 14
+    # every automorphism is a permutation
+    for p in iso:
+        assert sorted(p.tolist()) == list(range(14))
