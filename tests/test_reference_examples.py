@@ -187,3 +187,38 @@ def test_preprocess_sdf_column_builds_npz(tmp_path, monkeypatch):
     # every automorphism is a permutation
     for p in iso:
         assert sorted(p.tolist()) == list(range(14))
+
+
+def test_featurize_sdf_implicit_h_and_charges():
+    """The no-explicit-H estimate: kekulized benzene (no H atoms drawn)
+    gets 1 implicit H and valence 4 per carbon; an M CHG carboxylate O-
+    gets 0 H (default valence adjusted by the formal charge)."""
+    from fabind_tpu.data.featurize import featurize_sdf_text, sdf_string
+    import numpy as np
+
+    hexa = np.asarray([[np.cos(t), np.sin(t), 0.0]
+                       for t in np.linspace(0, 2 * np.pi, 6, endpoint=False)])
+    benzene = sdf_string(["C"] * 6, hexa,
+                         [(i, (i + 1) % 6, 1.0 + (i % 2)) for i in range(6)],
+                         name="benzene_kekulized")
+    f = featurize_sdf_text(benzene)
+    # blocks: symbol[0:18] degree[18:26] hs[26:34] valence[34:43]
+    assert (f["feats"][:, 18 + 2] == 1).all()     # degree 2
+    assert (f["feats"][:, 26 + 1] == 1).all()     # 1 implicit H
+    assert (f["feats"][:, 34 + 4] == 1).all()     # valence 4
+    assert (f["feats"][:, 55] == 0).all()         # kekulized: not aromatic
+    # LAS: ring pairs all constrained (6 ring atoms fully connected)
+    assert f["las_mask"].sum() == 30
+
+    # acetate: C-C(=O)[O-] with explicit charge
+    acet = sdf_string(["C", "C", "O", "O"],
+                      np.asarray([[0, 0, 0], [1.5, 0, 0], [2.2, 1.1, 0],
+                                  [2.2, -1.1, 0]], np.float32),
+                      [(0, 1, 1.0), (1, 2, 2.0), (1, 3, 1.0)],
+                      name="acetate", charges=np.asarray([0, 0, 0, -1]))
+    f = featurize_sdf_text(acet)
+    chg_block = 43
+    assert f["feats"][3, chg_block + 5 + (-1)] == 1   # formal charge -1
+    assert f["feats"][3, 26 + 0] == 1                 # O-: 0 H
+    assert f["feats"][2, 26 + 0] == 1                 # =O: 0 H
+    assert f["feats"][0, 26 + 3] == 1                 # CH3: 3 H
