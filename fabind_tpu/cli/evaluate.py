@@ -122,22 +122,12 @@ def main(argv=None):
             raise SystemExit(f"--unseen-index {args.unseen_index}: no ids "
                              f"from the file are present in {args.data}")
         print(f"unseen subset: {len(indices)} of {len(wanted)} ids present")
-    buckets = None
-    if args.buckets and args.buckets.startswith("auto"):
-        from fabind_tpu.data.buckets import measure_sizes, suggest_buckets
-        k = int(args.buckets.split(":")[1]) if ":" in args.buckets else 3
-        sizes = measure_sizes(source, indices, cfg, group=args.split,
-                              limit=512)
-        buckets = suggest_buckets(sizes, cfg, k=k)
-        print("auto buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)
-                                for s in buckets])
-    elif args.buckets:
-        import dataclasses
-        buckets = []
-        for spec in args.buckets.split(","):
-            ml, mp, mr = (int(v) for v in spec.split(":"))
-            buckets.append(dataclasses.replace(
-                cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
+    from fabind_tpu.data.buckets import resolve_buckets
+    buckets = resolve_buckets(args.buckets, cfg, source, indices,
+                              group=args.split)
+    if buckets is not None:
+        print("buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)
+                           for s in buckets])
     loader = Loader(source, indices, cfg, group=args.split,
                     batch_size=cfg.train.batch_size, buckets=buckets,
                     workers=args.workers, prefetch_depth=args.prefetch)

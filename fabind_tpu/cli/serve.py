@@ -55,28 +55,21 @@ def main(argv=None):
     overrides = parse_overrides(args.set)
     cfg = preset(args.preset, **overrides)
 
-    buckets = None
+    from fabind_tpu.data.buckets import resolve_buckets
+    source = indices = None
     if args.buckets and args.buckets.startswith("auto"):
         if not args.data:
             raise SystemExit("--buckets auto requires --data to measure "
                              "the complex-size distribution")
-        from fabind_tpu.data.buckets import measure_sizes, suggest_buckets
         from fabind_tpu.data.dataset import open_source
-        k = int(args.buckets.split(":")[1]) if ":" in args.buckets else 3
         source, indices = open_source(args.data, variant=args.preset,
                                       split="test",
                                       use_esm2_feat=cfg.model.use_esm2_feat)
-        sizes = measure_sizes(source, indices, cfg, group="test", limit=512)
-        buckets = suggest_buckets(sizes, cfg, k=k)
-        print("auto buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)
-                                for s in buckets])
-    elif args.buckets:
-        import dataclasses
-        buckets = []
-        for spec in args.buckets.split(","):
-            ml, mp, mr = (int(v) for v in spec.split(":"))
-            buckets.append(dataclasses.replace(
-                cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
+    buckets = resolve_buckets(args.buckets, cfg, source, indices,
+                              group="test")
+    if buckets is not None:
+        print("buckets:", [(s.max_ligand, s.max_pocket, s.max_protein)
+                           for s in buckets])
 
     engine = DockingEngine(cfg, ckpt=args.ckpt, buckets=buckets,
                            batch_size=args.batch_size,

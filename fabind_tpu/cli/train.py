@@ -54,10 +54,26 @@ def main(argv=None):
                         "num_workers=10, main_fabind.py:220); 0 = inline")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches buffered ahead of the device (0 = off)")
+    p.add_argument("--buckets", default="auto",
+                   help="shape buckets: 'auto' (default) measures the train "
+                        "split's size distribution and infers up to 3 "
+                        "buckets ('auto:K' for K), one jitted train step "
+                        "per bucket — each complex trains in the smallest "
+                        "bucket it fits instead of being padded to "
+                        "cfg.shapes; 'none' disables (single max-shape "
+                        "bucket); or explicit 'lig:pocket:protein,...'. "
+                        "Multi-host dp degrades 'auto' to ONE auto-sized "
+                        "bucket (per-bucket batch counts are data-dependent "
+                        "per host and would desync the collective step)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, e.g. --set max_ligand=32 "
                         "--set n_iter=4 (any ModelConfig/ShapeConfig/"
                         "TrainConfig field)")
+    p.add_argument("--wandb", action="store_true",
+                   help="also log metrics to Weights & Biases (project "
+                        "fabind_tpu, run named after --output); JSONL/TB "
+                        "logging is unaffected. Requires the optional "
+                        "wandb package")
     p.add_argument("--compile-cache", default="~/.cache/fabind_xla",
                    help="persistent XLA compilation cache dir ('' disables); "
                         "restarts and preemption-resumes then skip the "
@@ -74,9 +90,9 @@ def main(argv=None):
     from fabind_tpu.data.dataset import Loader, NPZSource
     from fabind_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from fabind_tpu.train import checkpoints
-    from fabind_tpu.train.trainer import (create_train_state,
-                                          make_eval_step,
-                                          make_sharded_train_step)
+    from fabind_tpu.train.trainer import (BucketedTrainStep,
+                                          create_train_state,
+                                          make_eval_step)
     from fabind_tpu.utils.logging_utils import Logger
     from fabind_tpu.utils.metrics import MetricAccumulator
 
@@ -93,7 +109,12 @@ def main(argv=None):
     overrides.setdefault("remat", args.remat)
     cfg = preset(args.preset, **overrides)
 
-    logger = Logger(args.output)
+    if args.wandb:
+        import dataclasses as _dcw
+        from fabind_tpu.utils.logging_utils import init_wandb
+        init_wandb(run_name=_os.path.basename(args.output.rstrip("/")),
+                   config=_dcw.asdict(cfg))
+    logger = Logger(args.output, use_wandb=args.wandb)
     logger.log_message(f"devices: {jax.devices()}")
 
     from fabind_tpu.data.dataset import open_source
@@ -112,22 +133,52 @@ def main(argv=None):
     # (replaces the reference's DDP DistributedSampler, SURVEY §2.3)
     shard = ((jax.process_index(), jax.process_count())
              if jax.process_count() > 1 else None)
+    from fabind_tpu.data.buckets import resolve_buckets
+    buckets = resolve_buckets(args.buckets, cfg, source, splits["train"],
+                              group="train", single=shard is not None)
+    if buckets is not None and shard is not None:
+        # one count-stable bucket under multi-host dp: shrink the config's
+        # shapes to the measured maxima instead of running a bucket list
+        # (Loader rejects buckets+host_shard); samples past the measured
+        # maxima drop-with-substitution and are surfaced via n_dropped
+        cfg = cfg.replace(shapes=buckets[0])
+        logger.log_message(
+            f"multi-host: single auto bucket "
+            f"(lig {cfg.shapes.max_ligand}, pkt {cfg.shapes.max_pocket}, "
+            f"prot {cfg.shapes.max_protein})")
+        buckets = None
+    elif buckets is not None:
+        logger.log_message(
+            "train buckets: " + str([(s.max_ligand, s.max_pocket,
+                                      s.max_protein) for s in buckets]))
     train_loader = Loader(source, splits["train"], cfg, group="train",
                           seed=cfg.train.seed, workers=args.workers,
-                          prefetch_depth=args.prefetch, host_shard=shard)
+                          prefetch_depth=args.prefetch, host_shard=shard,
+                          buckets=buckets)
     valid_loader = Loader(source, splits.get("valid", []), cfg, group="valid",
                           workers=args.workers,
-                          prefetch_depth=args.prefetch)
+                          prefetch_depth=args.prefetch, buckets=buckets)
 
-    # init on a synthetic template batch: shapes are all that matter, and
-    # pulling the first real batch would spin up (then abandon) the
-    # prefetching epoch generator and its worker pool
+    # init on a synthetic TINY template batch: flax param shapes depend only
+    # on feature dims, never on the shape bucket, so initializing at full
+    # cfg.shapes would pay a pointless multi-minute XLA compile at startup
+    import dataclasses as _dc
     from fabind_tpu.data.types import dummy_batch
+    tiny_shapes = _dc.replace(
+        cfg.shapes, max_ligand=min(8, cfg.shapes.max_ligand),
+        max_pocket=min(16, cfg.shapes.max_pocket),
+        max_protein=min(32, cfg.shapes.max_protein),
+        ctx_k=min(6, cfg.shapes.ctx_k),
+        ctx_k_whole=min(6, cfg.shapes.ctx_k_whole))
     first = jax.jit(lambda: dummy_batch(
-        cfg.shapes, batch_size=cfg.train.batch_size,
+        tiny_shapes, batch_size=1,
+        n_lig_valid=min(6, tiny_shapes.max_ligand),
+        n_prot_valid=min(24, tiny_shapes.max_protein),
         prot_feat_dim=cfg.model.protein_feat_dim))()
-    model, state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed),
-                                      first)
+    # the init model's shapes must match the template batch (the stage-2
+    # crop sizes come from cfg.shapes, not the batch); params are identical
+    _, state = create_train_state(cfg.replace(shapes=tiny_shapes),
+                                  jax.random.PRNGKey(cfg.train.seed), first)
     ckptr = checkpoints.TrainCheckpointer(args.output + "/ckpt",
                                           max_to_keep=args.keep)
     start_epoch, skip_batches = 0, 0
@@ -143,11 +194,19 @@ def main(argv=None):
 
     mesh = make_mesh(args.dp or None)
     state = replicate(state, mesh)
-    train_step = make_sharded_train_step(model, cfg, mesh)
+    from fabind_tpu.models.fabind import make_model
+    train_step = BucketedTrainStep(cfg, mesh)
     # the reference evaluates both the teacher-forced pocket (stage 1) and
-    # the predicted-pocket path (stage 2) each epoch (main_fabind.py:554-589)
-    eval_steps = {1: make_eval_step(model, stage=1),
-                  2: make_eval_step(model, stage=2)}
+    # the predicted-pocket path (stage 2) each epoch (main_fabind.py:554-589);
+    # eval steps compile lazily per (stage, shape bucket)
+    eval_steps = {}
+
+    def eval_step_for(stage, bucket_cfg):
+        key = (stage, bucket_cfg.shapes)
+        if key not in eval_steps:
+            eval_steps[key] = make_eval_step(make_model(bucket_cfg),
+                                             stage=stage)
+        return eval_steps[key]
 
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(state.params))
@@ -176,12 +235,13 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.train.total_epochs):
         t0 = time.time()
         batch_in_epoch = skip_batches
-        for batch in train_loader.epoch(epoch, skip_batches=skip_batches):
+        for batch, meta in train_loader.epoch(epoch, with_meta=True,
+                                              skip_batches=skip_batches):
             batch = shard_batch(batch, mesh)
             if args.profile_dir and run_steps == 10:
                 jax.profiler.start_trace(args.profile_dir)
                 tracing = True
-            state, metrics = train_step(state, batch)
+            state, metrics = train_step(state, batch, meta["cfg"])
             step += 1
             batch_in_epoch += 1
             run_steps += 1
@@ -213,10 +273,11 @@ def main(argv=None):
 
         if (args.eval_every > 0 and (epoch + 1) % args.eval_every == 0
                 and len(valid_loader.indices)):
-            for stage, eval_step in eval_steps.items():
+            for stage in (1, 2):
                 acc = MetricAccumulator()
-                for batch in valid_loader.epoch(0):
-                    out = eval_step(state.params, batch)
+                for batch, meta in valid_loader.epoch(0, with_meta=True):
+                    out = eval_step_for(stage, meta["cfg"])(state.params,
+                                                            batch)
                     acc.update(jax.device_get(out), batch)
                 logger.log_metrics(acc.summarize(), step,
                                    phase=f"valid_stage{stage}")

@@ -44,6 +44,9 @@ def main(argv=None):
                    choices=[None, "logsigmoid", "dynamic_hinge"])
     p.add_argument("--keep-cls-2A", action="store_true")
     p.add_argument("--stack-mlp", action="store_true")
+    p.add_argument("--wandb", action="store_true",
+                   help="also log metrics to Weights & Biases (requires the "
+                        "optional wandb package); JSONL logging is unaffected")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
@@ -73,7 +76,12 @@ def main(argv=None):
         overrides["stack_mlp"] = True
     cfg = preset("fabind_plus", **overrides)
 
-    logger = Logger(args.output)
+    if args.wandb:
+        import os as _os
+        from fabind_tpu.utils.logging_utils import init_wandb
+        init_wandb(run_name=_os.path.basename(args.output.rstrip("/")),
+                   config=dataclasses.asdict(cfg))
+    logger = Logger(args.output, use_wandb=args.wandb)
     logger.log_message(f"devices: {jax.devices()}")
 
     from fabind_tpu.data.dataset import open_source

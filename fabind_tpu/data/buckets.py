@@ -140,6 +140,54 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
     return shapes
 
 
+def resolve_buckets(spec: Optional[str], cfg: FABindConfig, source=None,
+                    indices: Optional[Sequence] = None, group: str = "test",
+                    limit: int = 512, pocket_headroom: int = 8,
+                    single: bool = False) -> Optional[List]:
+    """Parse a CLI bucket spec into a small->large ShapeConfig list.
+
+    Accepted specs (shared by cli.train / cli.evaluate / cli.serve):
+      - None / "" / "none"   -> None (single cfg.shapes bucket)
+      - "auto" / "auto:K"    -> measure the split's size distribution and
+                                infer up to K (default 3) buckets
+      - "l:p:r[,l:p:r...]"   -> explicit dims
+
+    With `single=True`, "auto" sizes ONE bucket at the measured maxima
+    (padded, + pocket headroom, clamped to cfg.shapes) instead of a
+    multi-bucket partition — the multi-host dp fallback, where data-dependent
+    per-bucket batch counts would desynchronize the collective train step
+    (Loader rejects buckets+host_shard)."""
+    if not spec or spec == "none":
+        return None
+    if spec.startswith("auto"):
+        if source is None or indices is None:
+            raise ValueError("--buckets auto needs a dataset to measure")
+        k = int(spec.split(":")[1]) if ":" in spec else 3
+        sizes = measure_sizes(source, indices, cfg, group=group, limit=limit)
+        if single:
+            base = cfg.shapes
+            fit = ((sizes[:, 0] <= base.max_ligand)
+                   & (sizes[:, 2] <= base.max_protein))
+            sizes = sizes[fit]
+            if sizes.shape[0] == 0:
+                return [base]
+            m = np.max(sizes, axis=0)
+            return [dataclasses.replace(
+                base,
+                max_ligand=min(_pad8(int(m[0])), base.max_ligand),
+                max_pocket=min(_pad8(int(m[1]) + pocket_headroom),
+                               base.max_pocket),
+                max_protein=min(_pad8(int(m[2])), base.max_protein))]
+        return suggest_buckets(sizes, cfg, k=k,
+                               pocket_headroom=pocket_headroom)
+    buckets = []
+    for part in spec.split(","):
+        ml, mp, mr = (int(v) for v in part.split(":"))
+        buckets.append(dataclasses.replace(
+            cfg.shapes, max_ligand=ml, max_pocket=mp, max_protein=mr))
+    return buckets
+
+
 def sort_bucket_cfgs(cfg, buckets):
     """[FABindConfig per bucket], smallest->largest, largest must cover
     cfg.shapes. The single source of bucket-list validation shared by the

@@ -125,6 +125,44 @@ def make_sharded_train_step(model: FABind, cfg: FABindConfig, mesh: Mesh):
     return sharded_step
 
 
+class BucketedTrainStep:
+    """Shape-bucketed training: one jitted train step per shape bucket,
+    all sharing the same params/optimizer state.
+
+    The TPU answer to the reference's per-sample ragged train batches
+    (FABind/fabind/main_fabind.py:383): the Loader routes each complex to the
+    smallest bucket it fits, and this dispatcher runs the matching compiled
+    step. Steps compile lazily on first use (the persistent XLA cache makes
+    restarts cheap); params and optimizer state are shape-independent, so
+    the TrainState threads through unchanged whichever bucket ran.
+
+    NOT safe under multi-host dp: bucket routing is data-dependent per host,
+    so per-host batch counts per bucket can diverge and hang the collective
+    step — cli.train degrades to one auto-sized bucket there (the Loader
+    enforces the same invariant)."""
+
+    def __init__(self, cfg: FABindConfig, mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self._steps: Dict[Any, Any] = {}
+
+    def step_for(self, bucket_cfg: FABindConfig):
+        key = bucket_cfg.shapes  # frozen dataclass: hashable, stable
+        if key not in self._steps:
+            model = make_model(bucket_cfg)
+            if self.mesh is not None:
+                self._steps[key] = make_sharded_train_step(
+                    model, bucket_cfg, self.mesh)
+            else:
+                self._steps[key] = jax.jit(
+                    make_train_step(model, bucket_cfg), donate_argnums=0)
+        return self._steps[key]
+
+    def __call__(self, state: TrainState, batch,
+                 bucket_cfg: Optional[FABindConfig] = None):
+        return self.step_for(bucket_cfg or self.cfg)(state, batch)
+
+
 def make_eval_step(model: FABind, stage: int = 2):
     @jax.jit
     def eval_step(params, batch):

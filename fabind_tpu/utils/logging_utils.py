@@ -16,7 +16,9 @@ from typing import Dict, Optional
 
 
 class Logger:
-    def __init__(self, log_dir: Optional[str] = None, name: str = "fabind_tpu"):
+    def __init__(self, log_dir: Optional[str] = None, name: str = "fabind_tpu",
+                 use_wandb: bool = False):
+        self.use_wandb = use_wandb
         self.logger = logging.getLogger(name)
         self.logger.setLevel(logging.INFO)
         self.logger.handlers.clear()
@@ -57,14 +59,35 @@ class Logger:
             for k, v in clean.items():
                 if isinstance(v, float):
                     self._tb.add_scalar(f"{phase}/{k}", v, step)
+        if self.use_wandb:
+            log_to_wandb(clean, phase, step)
+
+
+def init_wandb(run_name: str, config: Optional[dict] = None,
+               project: str = "fabind_tpu") -> None:
+    """Start a W&B run for a --wandb'd training CLI
+    (FABind_plus/fabind/main_fabind.py:35-49 wandb.init path). Raises
+    SystemExit with a clear message when the optional wandb package is not
+    installed — the user explicitly asked for W&B, silently degrading to
+    JSONL-only would hide the misconfiguration. No-op when a run is already
+    active (e.g. a sweep agent started one)."""
+    try:
+        import wandb
+    except ImportError:
+        raise SystemExit(
+            "--wandb requires the `wandb` package (pip install wandb); "
+            "metrics always stream to <output>/metrics.jsonl regardless")
+    if wandb.run is None:
+        wandb.init(project=project, name=run_name, config=config or {})
 
 
 def log_to_wandb(metrics: Dict[str, float], phase: str, epoch: int) -> bool:
     """Per-phase metric logging to Weights & Biases
-    (FABind_plus/fabind/utils/logging_utils.py:33-47). The wandb package is
-    optional: when it is not installed (or no run is active) this is a no-op
-    returning False — the JSONL stream from Logger.log_metrics remains the
-    primary observability surface.
+    (FABind_plus/fabind/utils/logging_utils.py:33-47); wired into
+    Logger.log_metrics via Logger(use_wandb=True) (the CLIs' --wandb flag).
+    The wandb package is optional: when it is not installed (or no run is
+    active) this is a no-op returning False — the JSONL stream from
+    Logger.log_metrics remains the primary observability surface.
     """
     try:
         import wandb

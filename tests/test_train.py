@@ -339,3 +339,71 @@ def test_restore_reads_both_checkpoint_layouts(train_setup, tmp_path):
     checkpoints.save_state(str(legacy_dir), host_state, step=3)
     restored2 = checkpoints.restore_state(str(legacy_dir), host_state)
     assert restored2 is not None and int(restored2.step) == int(host_state.step)
+
+
+def test_bucketed_train_step_dispatch(train_setup):
+    """BucketedTrainStep compiles one jitted step per shape bucket and
+    threads ONE TrainState through all of them (params/optimizer state are
+    shape-independent) — the cli.train dispatch behind --buckets."""
+    from fabind_tpu.train.trainer import BucketedTrainStep
+
+    cfg, batch, model, state, _ = train_setup
+    big = dataclasses.replace(cfg, shapes=dataclasses.replace(
+        cfg.shapes, max_ligand=12, max_pocket=24))
+    batch_big = dummy_batch(big.shapes, batch_size=2, n_lig_valid=10,
+                            n_prot_valid=24)
+    # fresh copies: BucketedTrainStep donates its state argument (so hold a
+    # host snapshot of the starting params for the final comparison)
+    params0 = jax.device_get(state.params)
+    step0 = int(state.step)
+    state = jax.tree_util.tree_map(jnp.array, state)
+    bstep = BucketedTrainStep(cfg)
+    s1, m1 = bstep(state, batch, cfg)
+    s2, m2 = bstep(s1, batch_big, big)
+    s3, m3 = bstep(s2, batch, cfg)
+    assert int(s3.step) == step0 + 3
+    assert len(bstep._steps) == 2, "one compiled step per distinct bucket"
+    for m in (m1, m2, m3):
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["skipped_nan"]) == 0.0
+    # params advanced across the mixed-bucket sequence
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               params0, jax.device_get(s3.params))
+    assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_bucketed_epoch_resume_exact():
+    """The bucketed train epoch is resume-exact: epoch(skip_batches=k)
+    yields exactly the uninterrupted epoch's batches [k:], same buckets,
+    same content (the cli.train --resume contract under --buckets)."""
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader
+    from test_data import make_raw
+
+    cfg = preset("fabind", max_ligand=24, max_pocket=32, max_protein=64,
+                 ctx_k=8, ctx_k_whole=8, batch_size=2)
+    small = dataclasses.replace(cfg.shapes, max_ligand=12, max_pocket=24,
+                                max_protein=40)
+
+    class Src:
+        samples = ([make_raw(n=6, nr=30, seed=i) for i in range(6)]
+                   + [make_raw(n=18, nr=55, seed=10 + i) for i in range(4)])
+
+        def get(self, idx):
+            return self.samples[idx]
+
+    def run(skip):
+        loader = Loader(Src(), range(10), cfg, group="train", seed=3,
+                        buckets=[small, cfg.shapes])
+        out = []
+        for batch, meta in loader.epoch(epoch=1, with_meta=True,
+                                        skip_batches=skip):
+            out.append((meta["cfg"].shapes.max_ligand, tuple(meta["pdb"]),
+                        float(np.asarray(batch.lig_coords).sum()),
+                        float(np.asarray(batch.pocket_idx).sum())))
+        return out
+
+    full = run(0)
+    assert len(full) >= 4
+    resumed = run(2)
+    assert resumed == full[2:]
