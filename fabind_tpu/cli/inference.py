@@ -98,6 +98,16 @@ def main(argv=None):
         # deterministic across runs (str hash() is randomized per process)
         import zlib
         name = f"{meta['pdb']}_{zlib.crc32(meta['smiles'].encode()):08x}"
+        # two rows that fall back to the same (pdb, ligand-id) — e.g.
+        # --ligand-sdf-dir rows with neither smiles nor ligand_id — must
+        # not overwrite each other's SDF: disambiguate by row order
+        if any(r["sdf"] == os.path.join(args.output, name + ".sdf")
+               for r in index_rows):
+            k = 2
+            while any(r["sdf"] == os.path.join(
+                    args.output, f"{name}_r{k}.sdf") for r in index_rows):
+                k += 1
+            name = f"{name}_r{k}"
         sdf = os.path.join(args.output, name + ".sdf")
         if pose.sdf_meta is not None:    # dock_sdf: RDKit-free writer
             from fabind_tpu.data.featurize import write_sdf

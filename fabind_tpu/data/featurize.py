@@ -439,6 +439,28 @@ def _featurize_parsed(p: Dict, sdf_path: str) -> Dict[str, np.ndarray]:
     feats = np.zeros((n, COMPOUND_FEATURE_DIM), np.float32)
     iso_labels = np.zeros(n, np.int64)
     charges = p["charges"]
+    # Partial-H inputs (e.g. PDB-ligand exports carrying only polar
+    # hydrogens) would silently under-count H on carbons if treated as
+    # fully explicit: detect heavy atoms whose bond-order sum + explicit H
+    # still falls short of the element's default valence and warn — the
+    # caller should either strip or complete the hydrogens.
+    if has_explicit_h:
+        deficit = [
+            symbols[a] for a in heavy
+            if int(n_h[a]) == 0 and int(charges[a]) == 0
+            and not aromatic[a]
+            and 0 < int(round(float(order_sum[a])))
+            < _DEFAULT_VALENCE.get(symbols[a], 0)]
+        if deficit:
+            import warnings
+            warnings.warn(
+                f"SDF has explicit hydrogens but {len(deficit)} heavy "
+                f"atom(s) ({','.join(sorted(set(deficit)))}) still show a "
+                "valence deficit with zero H attached — input looks "
+                "polar-H-only. All other heavy atoms get H counts from "
+                "explicit H only, which is off-distribution for the "
+                "released checkpoints (they expect all-or-nothing H).",
+                stacklevel=2)
     for k, a in enumerate(heavy):
         sym = symbols[a]
         if has_explicit_h:
@@ -494,6 +516,12 @@ def sdf_string(symbols: Sequence[str], coords: np.ndarray,
     """write_sdf as a string (HTTP responses)."""
     coords = np.asarray(coords, np.float32)
     n, nb = len(symbols), len(bonds)
+    if n > 999 or nb > 999:
+        # V2000 counts fields are fixed 3-char columns; overflowing shifts
+        # the line and writes a silently corrupt file
+        raise ValueError(
+            f"V2000 SDF holds at most 999 atoms/bonds (got {n} atoms, "
+            f"{nb} bonds); use a different output format for macromolecules")
     lines = [name, "  fabind_tpu", "",
              f"{n:3d}{nb:3d}  0  0  0  0  0  0  0  0999 V2000"]
     for s, (x, y, z) in zip(symbols, coords):

@@ -109,16 +109,20 @@ def distance_optimize_batch(y_pred: Array, protein_xyz: Array,
                             ref_coords: Array, las_mask: Array,
                             atom_mask: Array, pkt_mask: Array,
                             key: Array, steps: int = 5000, lr: float = 0.1,
-                            dis_thres: float = 10.0,
-                            mode: int = 0) -> Tuple[Array, Array]:
+                            dis_thres: float = 10.0, mode: int = 0,
+                            x0: Array = None) -> Tuple[Array, Array]:
     """Batched legacy distance-map docking (generation_utils.py:72-97):
     initialize atoms uniformly within ±5 Å of the pocket center, Adam on
-    coords against the predicted distance map + LAS constraints."""
+    coords against the predicted distance map + LAS constraints. `x0`
+    overrides the random init (warm starts; also how the golden test pins
+    the trajectory against the reference's torch optimizer)."""
     ref_dis = _pair_dist(ref_coords)
-    pc = jnp.sum(protein_xyz * pkt_mask[..., None], axis=-2, keepdims=True) \
-        / jnp.maximum(jnp.sum(pkt_mask, axis=-1)[..., None, None], 1.0)
-    x0 = pc + 5.0 * (2.0 * jax.random.uniform(
-        key, ref_coords.shape, ref_coords.dtype) - 1.0)
+    if x0 is None:
+        pc = jnp.sum(protein_xyz * pkt_mask[..., None], axis=-2,
+                     keepdims=True) \
+            / jnp.maximum(jnp.sum(pkt_mask, axis=-1)[..., None, None], 1.0)
+        x0 = pc + 5.0 * (2.0 * jax.random.uniform(
+            key, ref_coords.shape, ref_coords.dtype) - 1.0)
     opt = optax.adam(lr)
 
     def step(carry, epoch):

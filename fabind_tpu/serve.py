@@ -477,7 +477,9 @@ class DockingEngine:
                 raws.append({"_error": f"{type(e).__name__}: {e}"})
         return self._finish_mol_requests(raws)
 
-    def dock_sdf(self, requests: Sequence[Tuple[str, str]]) -> List[Pose]:
+    def dock_sdf(self, requests: Sequence[Tuple[str, str]],
+                 randomize_init: bool = False,
+                 seed: int = 0) -> List[Pose]:
         """Dock (sdf_path, pdb_path) pairs without RDKit: ligands are
         parsed and featurized by the pure-Python V2000 reader
         (featurize.featurize_sdf — exact for explicit-H aromatic-flagged
@@ -490,16 +492,39 @@ class DockingEngine:
         (canonical-order featurization, the released checkpoints'
         convention).
 
+        METRIC CAVEAT (redocking benchmarks): when the input SDF holds the
+        crystal pose, its TORSIONS are the ground truth's — the reference
+        protocol instead regenerates an ETKDG conformer from SMILES
+        (inference_mol_utils.py:135-144), so RMSD numbers from this method
+        on GT SDFs are optimistic versus the published protocol.
+        `randomize_init=True` applies a seeded uniform random RIGID
+        rotation to the init conformer (the reference's rotated-rdkit init,
+        utils.py:307-311), removing orientation leakage; torsion
+        regeneration needs RDKit — use dock_smiles for the fully
+        protocol-comparable path.
+
         Each ligand may be a path to an .sdf file or raw molfile text
         (anything containing a newline is treated as text — the HTTP
         /dock_sdf body)."""
-        from fabind_tpu.data import featurize as F
+        import numpy as np
 
+        from fabind_tpu.data import featurize as F
+        from fabind_tpu.data.batching import uniform_random_rotation
+
+        rng = np.random.RandomState(seed)
         raws: List[Dict] = []
         for sdf, pdb_path in requests:
             try:
                 feat = (F.featurize_sdf_text(sdf) if "\n" in sdf
                         else F.featurize_sdf(sdf))
+                if randomize_init:
+                    # rigid rotation about the centroid (the helper rotates
+                    # about the origin): LAS distances untouched,
+                    # orientation leakage removed
+                    c = feat["coords"].mean(0, keepdims=True)
+                    feat = dict(feat, coords=(
+                        uniform_random_rotation(feat["coords"] - c, rng)
+                        + c).astype(np.float32))
                 struct, esm = self._protein_raw(pdb_path)
                 raws.append({
                     "protein_xyz": struct["coords"][:, 1],

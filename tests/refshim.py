@@ -10,6 +10,7 @@ copied — the golden tests execute the reference in place as the oracle.
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 import types
 from types import SimpleNamespace
@@ -143,6 +144,22 @@ def install_shims():
     sys.modules["rdkit.Chem"].rdMolTransforms = sys.modules[
         "rdkit.Chem.rdMolTransforms"]
     sys.modules["rdkit.Geometry"].Point3D = type("Point3D", (), {})
+    # generation_utils.py module-scope imports (never exercised)
+    sys.modules["rdkit.Chem"].Draw = types.ModuleType("rdkit.Chem.Draw")
+    sys.modules["rdkit.Chem"].AllChem = types.ModuleType(
+        "rdkit.Chem.AllChem")
+
+
+def load_ref_util(root: str, name: str):
+    """Import a single self-contained reference utils module by file path
+    (for modules with no intra-package imports, e.g. generation_utils)."""
+    import importlib.util
+    install_shims()
+    path = os.path.join(root, "utils", f"{name}.py")
+    spec = importlib.util.spec_from_file_location(f"_ref_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 _LOADED: dict = {}

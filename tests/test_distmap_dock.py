@@ -110,3 +110,89 @@ def test_best_of_restarts_improves_worst_case():
         np.testing.assert_allclose(np.asarray(best)[b],
                                    np.asarray(xs)[r, b])
         assert picked[b] <= np.asarray(losses)[:, b].max() + 1e-6
+
+
+# ------------------------------------------------------- golden vs torch
+# Direct golden against the reference's torch implementation (executed in
+# place via refshim.load_ref_util — generation_utils.py:42-120). Pins the
+# conventions that property tests can silently get wrong: SUM (not mean)
+# reduction, LAS mask counted in BOTH edge directions, excluded-volume term
+# including the (constant) diagonal, clamp-then-subtract order, and the
+# 5e-3*(epoch-500) schedule crossover at exactly epoch 500.
+
+def _ref_gen_utils():
+    import pytest
+    torch = pytest.importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from refshim import REF_BASE, load_ref_util
+    return torch, load_ref_util(REF_BASE, "generation_utils")
+
+
+def test_golden_loss_values_vs_reference():
+    torch, gen = _ref_gen_utils()
+    y_pred, pkt, gt, las, am, pm = _problem(B=1, seed=11)
+    ref_dis = jnp.linalg.norm(gt[:, :, None] - gt[:, None, :], axis=-1)
+    x = np.asarray(gt) + np.random.RandomState(0).randn(
+        *gt.shape).astype(np.float32) * 2.0
+
+    T = torch.from_numpy
+    for mode in (0, 1, 2):
+        for epoch in (0.0, 250.0, 500.0, 777.0, 4999.0):
+            ours = float(distance_map_loss(
+                jnp.asarray(epoch), jnp.asarray(x), y_pred, pkt, ref_dis,
+                las, am, pm, dis_thres=10.0, mode=mode)[0])
+            ref_loss, (ref_inter, ref_conf) = gen.distance_loss_function(
+                int(epoch), T(np.asarray(y_pred)[0]), T(x[0]),
+                T(np.asarray(pkt)[0]), T(np.asarray(ref_dis)[0]),
+                LAS_distance_constraint_mask=T(np.asarray(las)[0]),
+                mode=mode)
+            np.testing.assert_allclose(
+                ours, float(ref_loss), rtol=2e-4,
+                err_msg=f"mode={mode} epoch={epoch}")
+
+
+def test_golden_trajectory_vs_reference():
+    """Same init, 120 Adam steps (crossing nothing — interaction-only
+    phase), then 700 steps (crossing the 500-step schedule boundary):
+    coords must track the torch optimizer."""
+    torch, gen = _ref_gen_utils()
+    y_pred, pkt, gt, las, am, pm = _problem(B=1, seed=13)
+    x0 = (np.asarray(pkt)[0].mean(0, keepdims=True)
+          + np.random.RandomState(5).uniform(
+              -5, 5, np.asarray(gt)[0].shape)).astype(np.float32)
+
+    def run_ref(steps):
+        T = torch.from_numpy
+        xt = T(x0.copy())
+        xt.requires_grad = True
+        opt = torch.optim.Adam([xt], lr=0.1)
+        for epoch in range(steps):
+            opt.zero_grad()
+            loss, _ = gen.distance_loss_function(
+                epoch, T(np.asarray(y_pred)[0]), xt, T(np.asarray(pkt)[0]),
+                T(np.linalg.norm(np.asarray(gt)[0][:, None]
+                                 - np.asarray(gt)[0][None], axis=-1)),
+                LAS_distance_constraint_mask=T(np.asarray(las)[0]), mode=0)
+            loss.backward()
+            opt.step()
+        return xt.detach().numpy()
+
+    # the L1 objective is non-smooth: fp32 rounding flips subgradient signs
+    # at |.| kinks and the flips compound through Adam's moments, so
+    # per-coordinate agreement is bounded (~0.04 A max at 700 steps,
+    # measured), not bit-tight like the smooth model goldens; a convention
+    # error (sum vs mean, one-direction LAS, missing diagonal) diverges by
+    # ANGSTROMS here, which is what this pins down
+    for steps, atol in ((120, 0.06), (700, 0.1)):
+        ours, _ = distance_optimize_batch(
+            y_pred, pkt, gt, las, am, pm, jax.random.PRNGKey(0),
+            steps=steps, x0=jnp.asarray(x0)[None])
+        ref = run_ref(steps)
+        np.testing.assert_allclose(np.asarray(ours)[0], ref, atol=atol,
+                                   err_msg=f"trajectory diverged at {steps}")
+        rmsd_ours = float(np.sqrt(
+            ((np.asarray(ours)[0] - np.asarray(gt)[0]) ** 2).sum(-1).mean()))
+        rmsd_ref = float(np.sqrt(
+            ((ref - np.asarray(gt)[0]) ** 2).sum(-1).mean()))
+        assert abs(rmsd_ours - rmsd_ref) < 0.05, (rmsd_ours, rmsd_ref)
