@@ -99,12 +99,10 @@ def bench_real():
         np.random.RandomState(len(seq)).randn(len(seq), 1280)
         .astype(np.float32) * 0.2)
 
-    cfg = preset("fabind", n_iter=8)
-    import dataclasses as _dc
     # one bucket covering the largest example (6n93: 520 residues)
-    bucket = _dc.replace(cfg.shapes, max_ligand=48, max_pocket=160,
-                         max_protein=544)
-    engine = DockingEngine(cfg, buckets=[bucket], batch_size=4)
+    cfg = preset("fabind", n_iter=8, max_ligand=48, max_pocket=160,
+                 max_protein=544)
+    engine = DockingEngine(cfg, batch_size=4)
 
     t = time.perf_counter()
     poses = engine.dock_sdf(reqs)   # warmup: featurize cache cold, compile
