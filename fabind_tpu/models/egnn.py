@@ -151,12 +151,24 @@ class EGCL(nn.Module):
         # group: coords are PACKED with the projected features so the gather
         # rows are lane-aligned (a stand-alone [...,3] coord gather runs at
         # ~2 GB/s on TPU — sub-lane rows defeat the memory system).
-        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
-        if decompose:
+        # use_ln_mlp (released FABind+) decomposes HALFWAY: LayerNorm over
+        # the concatenated edge input has SUM statistics, so the per-edge
+        # mean/variance reconstruct in O(1) from the gathered h itself, and
+        # the dst block + LN affine fold into per-node precomputes
+        # (MLPBlock.ln_l1_parts). The SRC projection stays per-edge
+        # ([E,C]@[C,H], half the fused (2C+1)xH matmul) because gathering
+        # the H-dim projection instead of the C-dim features doubles the
+        # gather bytes and measures SLOWER than the fused path on-chip
+        # (39.5 vs 43 c/s) — this op is gather-bound, not MXU-bound
+        # (DESIGN.md "plus edge MLP decomposition").
+        ln_decompose = cfg.is_plus and cfg.use_ln_mlp
+        if ln_decompose:
+            (a, _s_proj_unused, w_r, u_vec, c_vec, t_n,
+             q_n, D_in) = edge_mlp.ln_l1_parts(h, src_proj=False)
+            packed = jnp.concatenate([x, h], axis=-1)           # [B,N,3+C]
+        else:
             a, s_proj, w_r = _l1_edge_parts(edge_mlp, h)
             packed = jnp.concatenate([x, s_proj], axis=-1)      # [B,N,3+H]
-        else:
-            packed = jnp.concatenate([x, h], axis=-1)           # [B,N,3+C]
 
         g_n = G.gather_neighbors(packed, ctx.nbr_idx)           # [B,N,K,3+*]
         x_nbr = g_n[..., :3]
@@ -185,11 +197,42 @@ class EGCL(nn.Module):
         div = _norm_div(r_sq, cfg)
 
         # The edge MLP's first linear over [h_dst ++ h_src ++ radial] is
-        # decomposed into per-node matmuls + a rank-1 radial term whenever
-        # there is no LayerNorm on the concatenated input — this removes the
-        # O(E * (2C+1) * H) edge matmul and the concat materialization, the
-        # dominant HBM/FLOP cost of the ctx layer.
-        if decompose:
+        # decomposed into per-node matmuls + a rank-1 radial term — this
+        # removes the O(E * (2C+1) * H) edge matmul and the concat
+        # materialization, the dominant HBM/FLOP cost of the ctx layer.
+        # With use_ln_mlp the LayerNorm folds in via per-edge mean/variance
+        # reconstructed from the gathered per-node sums (exact algebra).
+        if ln_decompose:
+            Wg_s = _s_proj_unused   # [C, H]: γ-scaled src block of linear1
+
+            def messages(h_src, radial, div_b, a_dst, t_dst, q_dst):
+                hf = h_src.astype(jnp.float32)
+                t_src = jnp.sum(hf, axis=-1)
+                q_src = jnp.sum(hf * hf, axis=-1)
+                s_src = h_src @ Wg_s                 # per-edge half matmul
+                rn = (radial / div_b).astype(jnp.float32)
+                mu = (t_dst + t_src + rn) / D_in
+                var = (q_dst + q_src + rn * rn) / D_in - mu * mu
+                inv = jax.lax.rsqrt(var + 1e-5)
+                pre = (a_dst + s_src
+                       + rn[..., None].astype(s_src.dtype) * w_r
+                       - mu[..., None].astype(s_src.dtype) * u_vec)
+                pre = inv[..., None].astype(pre.dtype) * pre + c_vec
+                return edge_mlp.finish(pre, deterministic=deterministic)
+
+            div_n = div[:, None, None]
+            tq = (t_n[:, :, None], q_n[:, :, None])
+            msg_n = messages(g_n[..., 3:], r_n, div_n, a[:, :, None, :],
+                             *tq)
+            msg_c = messages(g_c[..., 3:], r_c, div[:, None],
+                             a[:, layout.glb_c][:, None, :],
+                             t_n[:, layout.glb_c][:, None],
+                             q_n[:, layout.glb_c][:, None])
+            msg_p = messages(g_p[..., 3:], r_p, div[:, None],
+                             a[:, layout.glb_p][:, None, :],
+                             t_n[:, layout.glb_p][:, None],
+                             q_n[:, layout.glb_p][:, None])
+        else:
             def messages(s_src, radial, div_b, a_dst):
                 pre = a_dst + s_src + (radial / div_b)[..., None] * w_r
                 m = edge_mlp.finish(pre, deterministic=deterministic)
@@ -203,22 +246,6 @@ class EGCL(nn.Module):
                              a[:, layout.glb_c][:, None, :])
             msg_p = messages(g_p[..., 3:], r_p, div[:, None],
                              a[:, layout.glb_p][:, None, :])
-        else:
-            def messages(h_dst, h_src, radial, div_b):
-                feat = jnp.concatenate(
-                    [jnp.broadcast_to(h_dst[..., None, :], h_src.shape), h_src,
-                     (radial / div_b)[..., None]], axis=-1)
-                m = edge_mlp(feat, deterministic=deterministic)
-                if not cfg.is_plus:
-                    m = drop(m, deterministic=deterministic)
-                return m
-
-            div_n = div[:, None, None]
-            msg_n = messages(h, g_n[..., 3:], r_n, div_n)       # [B,N,K,C]
-            msg_c = messages(h[:, layout.glb_c], g_c[..., 3:], r_c,
-                             div[:, None])
-            msg_p = messages(h[:, layout.glb_p], g_p[..., 3:], r_p,
-                             div[:, None])
 
         # ---- coord update: segment-mean of diff * coord_mlp(m) (egnn.py:111-128)
         def coord_agg(msg, diff, mask):
@@ -526,8 +553,37 @@ class BipartiteEGCL(nn.Module):
         r_n = r / div[:, None, None]
         adj_f = adj.astype(h.dtype)
 
-        decompose = not (cfg.is_plus and cfg.use_ln_mlp)
-        if decompose:
+        # same decomposition as EGCL, dense bipartite form; use_ln_mlp folds
+        # the LayerNorm via per-node sums (MLPBlock.ln_l1_parts)
+        if cfg.is_plus and cfg.use_ln_mlp:
+            (a, s_proj, w_r, u_vec, c_vec, t_n,
+             q_n, D_in) = edge_mlp.ln_l1_parts(h)
+
+            def messages(a_dst, s_src, radial, t_dst, t_src, q_dst, q_src):
+                mu = (t_dst + t_src + radial.astype(jnp.float32)) / D_in
+                var = ((q_dst + q_src
+                        + radial.astype(jnp.float32) ** 2) / D_in - mu * mu)
+                inv = jax.lax.rsqrt(var + 1e-5)
+                pre = (a_dst + s_src
+                       + radial[..., None].astype(s_src.dtype) * w_r
+                       - mu[..., None].astype(s_src.dtype) * u_vec)
+                pre = inv[..., None].astype(pre.dtype) * pre + c_vec
+                return edge_mlp.finish(pre, deterministic=deterministic)
+
+            tl = t_n[:, layout.lig_slice]
+            tp = t_n[:, layout.pkt_slice]
+            ql = q_n[:, layout.lig_slice]
+            qp = q_n[:, layout.pkt_slice]
+            msg_l = messages(a[:, layout.lig_slice][:, :, None],
+                             s_proj[:, layout.pkt_slice][:, None], r_n,
+                             tl[:, :, None], tp[:, None],
+                             ql[:, :, None], qp[:, None])       # [B,Nc,Np,H]
+            msg_p = messages(a[:, layout.pkt_slice][:, :, None],
+                             s_proj[:, layout.lig_slice][:, None],
+                             jnp.swapaxes(r_n, 1, 2),
+                             tp[:, :, None], tl[:, None],
+                             qp[:, :, None], ql[:, None])       # [B,Np,Nc,H]
+        else:
             a, s_proj, w_r = _l1_edge_parts(edge_mlp, h)
 
             def messages(a_dst, s_src, radial):
@@ -541,22 +597,6 @@ class BipartiteEGCL(nn.Module):
             msg_p = messages(a[:, layout.pkt_slice][:, :, None],
                              s_proj[:, layout.lig_slice][:, None],
                              jnp.swapaxes(r_n, 1, 2))           # [B,Np,Nc,H]
-        else:
-            h_l = h[:, layout.lig_slice]
-            h_p = h[:, layout.pkt_slice]
-
-            def messages(h_dst, h_src, radial):
-                feat = jnp.concatenate([
-                    jnp.broadcast_to(h_dst[:, :, None, :],
-                                     radial.shape + (h_dst.shape[-1],)),
-                    jnp.broadcast_to(h_src[:, None, :, :],
-                                     radial.shape + (h_src.shape[-1],)),
-                    radial[..., None]], axis=-1)
-                m = edge_mlp(feat, deterministic=deterministic)
-                return m if cfg.is_plus else drop(m, deterministic=deterministic)
-
-            msg_l = messages(h_l, h_p, r_n)
-            msg_p = messages(h_p, h_l, jnp.swapaxes(r_n, 1, 2))
 
         def coord_agg(msg, diff, mask):
             w = coord_mlp.scalar_call(msg, deterministic=deterministic)[..., None]

@@ -137,6 +137,59 @@ class MLPBlock(nn.Module):
             x = self.layernorm(x)
         return self.finish_scalar(self.linear1(x), deterministic)
 
+    def ln_l1_parts(self, h: Array, src_proj: bool = True):
+        """Per-node pieces of `linear1(layernorm([h_dst ++ h_src ++ r]))`
+        for use_ln=True edge MLPs (the released FABind+ config).
+
+        LayerNorm over the CONCATENATED edge input looks undecomposable,
+        but its statistics are sums: with per-node t=Σh and q=Σh² the
+        per-edge mean/variance are O(1), and the normalize-then-project
+        algebra folds into per-node matmuls:
+
+          y = W·LN(v) + b,  v = [h_dst; h_src; r],  D = 2C+1
+            = inv·(A·h_dst + S·h_src + r·w_r − μ·u) + c
+          μ = (t_dst + t_src + r)/D
+          inv = rsqrt((q_dst + q_src + r²)/D − μ² + ε)
+          A = (γ_d ⊙ W_d),  S = (γ_s ⊙ W_s),  w_r = γ_r·W_r
+          u = Σ_i γ_i W[i,:],   c = W·β + b
+
+        This removes the O(E·D·H) fused edge matmul — the released plus
+        config's dominant cost (use_ln_mlp disables the plain decomposed
+        path; measured 43 → see DESIGN.md "plus edge MLP") — at the price
+        of gathering H-dim projections instead of C-dim features.
+
+        Returns (a [B,N,H] = A·h_dst, s, w_r [H], u [H], c [H], t [B,N],
+        q [B,N], D) where s is the per-node src projection S·h [B,N,H] when
+        src_proj=True, or the raw scaled kernel S=(γ_s⊙W_s) [C,H] when
+        src_proj=False — gather-bound callers project the GATHERED h per
+        edge instead (gathering the H-dim projection costs ~2x the bytes of
+        the C-dim features and measured slower than fused). Exact in real
+        arithmetic; statistics accumulate in float32.
+        """
+        assert self.use_ln
+        B, N, C = h.shape
+        D = 2 * C + 1
+        if self.is_initializing():
+            # create layernorm+linear1 params at the fused input width
+            z = jnp.zeros((1, 1, D), h.dtype)
+            self.linear1(self.layernorm(z))
+        lnp = self.get_variable("params", "layernorm")
+        l1p = self.get_variable("params", "linear1")
+        gamma = lnp["scale"].astype(jnp.float32)          # [D]
+        beta = lnp["bias"].astype(jnp.float32)
+        W = l1p["kernel"]                                  # [D, H]
+        b = l1p["bias"]
+        Wg = W * gamma[:, None].astype(W.dtype)
+        a = h @ Wg[:C]
+        s = h @ Wg[C:2 * C] if src_proj else Wg[C:2 * C]
+        w_r = Wg[2 * C]
+        u = jnp.sum(Wg, axis=0)
+        c = beta.astype(W.dtype) @ W + b
+        hf = h.astype(jnp.float32)
+        t = jnp.sum(hf, axis=-1)
+        q = jnp.sum(hf * hf, axis=-1)
+        return a, s, w_r, u, c, t, q, D
+
     def finish_scalar_rank1(self, l1_v: Array, r: Array, u: Array,
                             deterministic: bool = True) -> Array:
         """finish_scalar over the rank-1-structured pre-activation

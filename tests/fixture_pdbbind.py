@@ -33,26 +33,53 @@ from fabind_tpu.data.kv import write_kv
 ESM_DIM = 1280
 
 
-def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28):
-    """One synthetic complex in raw numpy form."""
+def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28,
+                  symmetric: bool = False):
+    """One synthetic complex in raw numpy form.
+
+    symmetric=True builds the permutation-invariance probe ligand instead:
+    5 atoms, triangle 0-1-2 with a tail 1-3-4, where atoms 0 and 2 are a
+    genuine graph automorphism (identical features, symmetric geometry,
+    5 Å apart) and the CONFORMER (init pose) is the swap(0,2) of the GT
+    coords — so a model trained with the permutation-invariant loss settles
+    in the swapped basin: identity RMSD ~3.2 Å (>2), symmetric RMSD -> 0.
+    The matching automorphism list is returned as `autos`.
+    """
     rng = np.random.RandomState(seed)
     prot = (rng.randn(n_res, 3) * 6).astype(np.float32)
     seq = rng.randint(0, 20, size=n_res).astype(np.int64)
     esm = rng.randn(n_res, ESM_DIM).astype(np.float32) * 0.2
 
-    # ligand: chain 0-1-...-k plus a 3-ring on the first atoms, placed near
-    # a few protein residues (so native_num_contact-style contacts exist)
     center = prot[:4].mean(0)
-    lig = (center + 0.8 * rng.randn(n_atoms, 3)).astype(np.float32)
-    bonds = [(i, i + 1) for i in range(n_atoms - 1)] + [(0, 2)]
+    if symmetric:
+        n_atoms = 5
+        geo = np.asarray([[-2.5, 1.5, 0.0], [0.0, 0.0, 0.0],
+                          [2.5, 1.5, 0.0], [0.0, -1.4, 0.0],
+                          [0.0, -2.8, 0.0]], np.float32)
+        lig = (center + geo).astype(np.float32)
+        bonds = [(0, 1), (1, 2), (0, 2), (1, 3), (3, 4)]
+        rings = [[0, 1, 2]]
+        perm = np.asarray([2, 1, 0, 3, 4], np.int64)   # the 0<->2 swap
+        autos = [np.arange(n_atoms, dtype=np.int64), perm]
+    else:
+        # ligand: chain 0-1-...-k plus a 3-ring on the first atoms, placed
+        # near a few protein residues (so native_num_contact-style contacts
+        # exist)
+        lig = (center + 0.8 * rng.randn(n_atoms, 3)).astype(np.float32)
+        bonds = [(i, i + 1) for i in range(n_atoms - 1)] + [(0, 2)]
+        rings = [[0, 1, 2]]
+        perm = None
+        autos = [np.arange(n_atoms, dtype=np.int64)]
     adj = np.zeros((n_atoms, n_atoms), np.int64)
     for i, j in bonds:
         adj[i, j] = adj[j, i] = 1
-    las = las_mask_from_adj_rings(adj, [[0, 1, 2]])
+    las = las_mask_from_adj_rings(adj, rings)
 
     feats = np.zeros((n_atoms, 56), np.float32)
     feats[np.arange(n_atoms), rng.randint(0, 17, n_atoms)] = 1.0  # symbol
     feats[np.arange(n_atoms), 18 + np.minimum(adj.sum(1), 6)] = 1.0  # degree
+    if symmetric:
+        feats[2] = feats[0]    # automorphic atoms must be indistinguishable
 
     edge_list = []           # [E,3] torchdrug layout: (i, j, relation)
     for i, j in bonds:
@@ -60,17 +87,24 @@ def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28):
         edge_list.append((j, i, 0))
     edge_list = np.asarray(sorted(edge_list), np.int64)
     las_idx = np.stack(np.nonzero(las)).astype(np.int64)
-    rdkit_coords = (lig - lig.mean(0)
-                    + 0.15 * rng.randn(n_atoms, 3)).astype(np.float32)
+    if symmetric:
+        # init conformer = the SWAPPED pose (atom 0 starts where GT atom 2
+        # is): the permutation-invariant loss's nearest basin is the swap
+        rdkit_coords = (lig[perm] - lig.mean(0)
+                        + 0.05 * rng.randn(n_atoms, 3)).astype(np.float32)
+    else:
+        rdkit_coords = (lig - lig.mean(0)
+                        + 0.15 * rng.randn(n_atoms, 3)).astype(np.float32)
     return dict(prot=prot, seq=seq, esm=esm, lig=lig, feats=feats,
                 edge_list=edge_list, las_idx=las_idx,
-                rdkit_coords=rdkit_coords, n_atoms=n_atoms)
+                rdkit_coords=rdkit_coords, n_atoms=n_atoms, autos=autos)
 
 
 def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
                            n_train: int = 4, n_valid: int = 2,
                            n_test: int = 2,
-                           overfit: bool = False) -> "list[str]":
+                           overfit: bool = False,
+                           symmetric: bool = False) -> "list[str]":
     """Write the fixture; returns the pdb ids of the kept (filter-passing)
     rows in index order. Also includes rows the reference's split filters
     must EXCLUDE (oversize ligand, too few contacts, use_compound_com=False)
@@ -91,9 +125,9 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
     names = []
 
     def add(pdb, group, c_length=None, contacts=12, use_com=True,
-            n_atoms=8, n_res=28, sd=None):
+            n_atoms=8, n_res=28, sd=None, sym=False):
         c = synth_complex(seed * 1000 + len(rows) if sd is None else sd,
-                          n_atoms=n_atoms, n_res=n_res)
+                          n_atoms=n_atoms, n_res=n_res, symmetric=sym)
         protein_kv[pdb.encode()] = pickle.dumps(
             (torch.from_numpy(c["prot"]), torch.from_numpy(c["seq"])))
         esm_kv[pdb.encode()] = pickle.dumps(torch.from_numpy(c["esm"]))
@@ -113,13 +147,13 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
                                    else c_length),
                          native_num_contact=contacts,
                          use_compound_com=use_com, pocket_com=pocket_com))
-        # identity + ring automorphism 0<->1 is NOT valid for the chain tail;
-        # just store identity + a real symmetric pair when one exists
-        isomorphics.append([np.arange(c["n_atoms"], dtype=np.int64)])
+        # the synthesized automorphism group: identity only for the chain
+        # ligand; identity + the 0<->2 swap for the symmetric probe ligand
+        isomorphics.append(list(c["autos"]))
         names.append(pdb)
 
     for i in range(n_train):
-        add(f"tr{i:02d}", "train")
+        add(f"tr{i:02d}", "train", sym=symmetric)
     # filter-exercising rows (all group=train)
     # c_length=120: excluded by the base filter (<100) but kept by the
     # FABind+ expand_clength filter (<150) — exercises both variants
@@ -131,7 +165,7 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
     for i in range(n_test):
         # overfit mode: test complex i IS train complex i (same synth seed)
         add(f"te{i:02d}", "test",
-            sd=(seed * 1000 + i) if overfit else None)
+            sd=(seed * 1000 + i) if overfit else None, sym=symmetric)
 
     df = pd.DataFrame(rows)
     if plus:

@@ -1,0 +1,128 @@
+"""Confidence/sampling learning-evidence probe (round-3 verdict item 5).
+
+Round 2 proved the confidence pipeline *executes* (loss descends over 5
+epochs on a 1-epoch backbone); this probe demonstrates it *works*: on a
+properly overfit plus backbone, train the head until ranking metrics beat
+chance, then show best-of-N selection by confidence beats the mean
+single-pose RMSD — the entire point of the sampling pipeline (reference
+test_sampling_fabind.py:163-204, training_confidence.py:143-149).
+
+One JSON line out:
+  ranking_accuracy / hit_rate (last-5-epoch means),
+  mean_single_pose_rmsd vs best_of_rmsd on the fixture test split.
+Mirrored by tests/test_real_data.py::test_confidence_ranking_beats_chance.
+"""
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import jax
+jax.config.update("jax_platforms", os.environ.get("FABIND_PROBE_PLATFORM",
+                                                  "cpu"))
+
+import numpy as np
+
+SHAPE_SETS = ["--set", "max_ligand=16", "--set", "max_pocket=32",
+              "--set", "max_protein=40", "--set", "ctx_k=8",
+              "--set", "ctx_k_whole=8", "--set", "hidden_size=16",
+              "--set", "pocket_pred_hidden_size=16",
+              "--set", "mean_layers=1", "--set", "n_iter=2"]
+KV = {kv.split("=")[0]: int(kv.split("=")[1])
+      for kv in SHAPE_SETS if "=" in kv}
+
+
+def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
+    from fixture_pdbbind import make_reference_fixture
+    from fabind_tpu.cli import train as train_cli
+    from fabind_tpu.cli import train_confidence as conf_cli
+
+    tmp = tempfile.mkdtemp(prefix="fabind_conf_strength_")
+    root = os.path.join(tmp, "pdbbind_plus")
+    make_reference_fixture(root, plus=True, overfit=True, n_test=4)
+    reg = os.path.join(tmp, "reg")
+    train_cli.main(["--preset", "fabind_plus", "--data", root,
+                    "--output", reg, "--epochs", str(backbone_epochs),
+                    "--batch-size", "4", "--workers", "0", "--dp", "1",
+                    "--seed", "0", "--eval-every", "999",
+                    "--save-every-epochs", "100",
+                    "--compile-cache", "~/.jax_cache_tests",
+                    "--set", "lr=" + os.environ.get("FABIND_PROBE_LR",
+                                                    "1e-4"),
+                    "--set", "warmup_epochs=1",
+                    "--set", "steps_per_epoch=1"] + SHAPE_SETS)
+
+    conf = os.path.join(tmp, "conf")
+    conf_cli.main(["--data", root, "--output", conf,
+                   "--init-ckpt", os.path.join(reg, "ckpt"),
+                   "--epochs", str(conf_epochs), "--batch-size", "4",
+                   "--num-copies", "4"] + SHAPE_SETS)
+
+    recs = [json.loads(line) for line in
+            open(os.path.join(conf, "metrics.jsonl")) if '"epoch"' in line]
+    tail = recs[-5:]
+    res = {
+        "backbone_epochs": backbone_epochs,
+        "conf_epochs": conf_epochs,
+        "confidence_loss_first": recs[0]["confidence_loss"],
+        "confidence_loss_last": float(np.mean(
+            [r["confidence_loss"] for r in tail])),
+        "ranking_accuracy_last5": float(np.mean(
+            [r["ranking_accuracy"] for r in tail])),
+        "hit_rate_last5": float(np.mean([r["hit_rate"] for r in tail])),
+    }
+
+    # ---- best-of-N beats the mean single pose ----
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.dataset import Loader, PDBBindLMDBSource
+    from fabind_tpu.models.fabind import make_model
+    from fabind_tpu.cli.sample import sample_poses
+    from fabind_tpu.train import checkpoints
+    from fabind_tpu.data.types import dummy_batch
+
+    cfg = preset("fabind_plus_sampling", batch_size=4, **KV)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    tmpl = jax.jit(lambda: model.init(
+        {"params": k, "dropout": k, "sample": k},
+        dummy_batch(cfg.shapes, batch_size=1), train=False,
+        stage=2))()["params"]
+    ckpt_dir = os.path.join(conf, "ckpt")
+    last = sorted(d for d in os.listdir(ckpt_dir)
+                  if d.startswith("params_epoch"))[-1]
+    params = checkpoints.restore_params(os.path.join(ckpt_dir, last), tmpl)
+
+    src = PDBBindLMDBSource(root)
+    idx = src.splits("fabind_plus")["test"]
+    loader = Loader(src, idx, cfg, group="test")
+    singles, bests = [], []
+    for batch in loader.epoch(0):
+        coords, scores = sample_poses(model, {"params": params}, batch, cfg,
+                                      sample_size, seed=1)
+        gt = np.asarray(batch.lig_coords)
+        lm = np.asarray(batch.lig_mask)
+        sv = np.asarray(batch.sample_valid).astype(bool) \
+            if batch.sample_valid is not None else np.ones(gt.shape[0], bool)
+        for b in range(gt.shape[0]):
+            if not sv[b]:
+                continue
+            n = int(lm[b].sum())
+            r = np.sqrt(((np.asarray(coords)[:, b, :n] - gt[b, :n]) ** 2)
+                        .sum(-1).mean(-1))              # [S]
+            singles.append(float(r.mean()))
+            bests.append(float(r[int(np.argmax(np.asarray(scores)[:, b]))]))
+    res["mean_single_pose_rmsd"] = float(np.mean(singles))
+    res["best_of_rmsd"] = float(np.mean(bests))
+    res["oracle_best_rmsd"] = None
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 40,
+         int(sys.argv[3]) if len(sys.argv) > 3 else 8)
