@@ -182,6 +182,14 @@ class TrainConfig:
 
     addNoise: float = 5.0
     train_ligand_torsion_noise: bool = False
+    # uniform random rotation of the rdkit-conformer init at train time
+    # (reference data.py:63-68 applies it unconditionally for the
+    # pocket_center_rdkit init; True is reference-exact). False isolates
+    # the permutation-invariant loss from orientation augmentation —
+    # used by tools/train_plus_convergence_probe.py, where rotation per
+    # step makes the min-loss automorphism flip randomly and a
+    # small-capacity model collapses to the basin midpoint.
+    train_rotation: bool = True
     # flexible-docking pocket-coordinate supervision (SmoothL1 vs the
     # dataset's pocket coords — holo self-consistency unless the data source
     # supplies a distinct apo input structure)

@@ -115,7 +115,7 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
     mode = m.compound_coords_init_mode
     las_full = False
     if mode == "pocket_center_rdkit":
-        if group == "train":
+        if group == "train" and t.train_rotation:
             rk = uniform_random_rotation(rk, rng).astype(np.float32)
         coords_init = rk - rk.mean(axis=0) + pocket_center
     elif mode == "random":

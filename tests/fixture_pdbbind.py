@@ -56,6 +56,27 @@ def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28,
         geo = np.asarray([[-2.5, 1.5, 0.0], [0.0, 0.0, 0.0],
                           [2.5, 1.5, 0.0], [0.0, -1.4, 0.0],
                           [0.0, -2.8, 0.0]], np.float32)
+        # The pocket must sit in the BISECTOR PLANE of the automorphic
+        # pair (local x=0): the distance-map losses compare pred coords
+        # to the GT in LABEL order (reference training.py:64-69 — the
+        # permutation min covers only the coord loss,
+        # permutation_loss.py:4-38), so unless every pocket residue is
+        # equidistant from GT[0] and GT[2] the dismap gradient pulls
+        # toward the identity basin while the permutation coord loss
+        # pulls toward the swap basin, and training compromises by
+        # collapsing the pair onto the midpoint (measured:
+        # |pred0-pred2| -> 0.002 from 4.97 at init). Real automorphic
+        # ligands put near-identical dismap columns on the paired atoms
+        # for the same reason. A 4.5-9 A in-plane shell also lands the
+        # pocket-residue center ~1 A from the ligand centroid, so the
+        # stage-1 init (conformer at the pocket-frame origin) starts
+        # NEAR the GT pose and the probe isolates basin choice from
+        # long-range pose transport.
+        dirs = rng.randn(n_res, 3).astype(np.float32)
+        dirs[:, 0] = 0.0
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        radii = rng.uniform(4.5, 9.0, size=(n_res, 1)).astype(np.float32)
+        prot = (center + dirs * radii).astype(np.float32)
         lig = (center + geo).astype(np.float32)
         bonds = [(0, 1), (1, 2), (0, 2), (1, 3), (3, 4)]
         rings = [[0, 1, 2]]

@@ -51,8 +51,14 @@ def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
                     "--seed", "0", "--eval-every", "999",
                     "--save-every-epochs", "100",
                     "--compile-cache", "~/.jax_cache_tests",
+                    # lr 1e-3 overfits the plain plus fixture to
+                    # rmsd_lt2=1.0 in 600 single-batch epochs (measured via
+                    # tools/train_convergence_probe.py --preset fabind_plus
+                    # --lr 1e-3: loss 36.4 -> 6.7, rmsd_mean 1.69); the plus
+                    # default 5e-5 and even 3e-4 leave the backbone far from
+                    # fit at this probe scale
                     "--set", "lr=" + os.environ.get("FABIND_PROBE_LR",
-                                                    "1e-4"),
+                                                    "1e-3"),
                     "--set", "warmup_epochs=1",
                     "--set", "steps_per_epoch=1"] + SHAPE_SETS)
 

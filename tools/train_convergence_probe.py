@@ -49,6 +49,8 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=50)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--preset", default="fabind",
+                   help="config preset (fabind / fabind_plus / ...)")
     p.add_argument("--out", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
@@ -84,12 +86,12 @@ def main(argv=None):
                      warmup_epochs=1, total_epochs=max(args.steps, 2),
                      steps_per_epoch=1)
     overrides.update(parse_overrides(args.set))
-    cfg = preset("fabind", **overrides)
+    cfg = preset(args.preset, **overrides)
 
-    source, _ = open_source(data, "fabind",
+    source, _ = open_source(data, args.preset,
                             use_esm2_feat=cfg.model.use_esm2_feat)
     if hasattr(source, "splits"):
-        idx = source.splits("fabind")["train"]
+        idx = source.splits(args.preset)["train"]
     else:
         idx = list(source.names)
     train_loader = Loader(source, idx, cfg, group="train",

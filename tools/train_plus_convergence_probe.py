@@ -10,8 +10,21 @@ reports, as one JSON line:
   - symmetric-RMSD rmsd_lt2 (expected 1: the automorphism group recovers
     the match) — proving the permutation machinery engages through a
     non-identity permutation, not merely executes.
-Mirrors tests/test_real_data.py::test_plus_training_converges_* (CI).
+Mirrors tests/test_real_data.py::test_plus_training_converges_through_
+nonidentity_permutation (CI).
 Reference dynamics: FABind_plus/fabind/utils/training.py:59-97.
+
+Committed result (CPU, 600 epochs, lr 3e-4, hidden 16, seed 0):
+  loss 9.50 -> 5.44, coord loss 0.417 -> 0.122, radius loss
+  0.0235 -> 0.0060, rmsd_lt2_identity 0.0 (identity RMSD 2.87 — the
+  model settled in the swapped basin), rmsd_lt2_symmetric 1.0
+  (symmetric RMSD 0.84). Two fixture properties were required to get a
+  clean basin-choice signal (see fixture_pdbbind.synth_complex): the
+  pocket must sit in the automorphic pair's bisector plane (the dismap
+  losses are NOT permutation-min'ed — reference training.py:64-69 — so
+  an asymmetric pocket pulls the pair onto the basin midpoint:
+  measured |pred0-pred2| -> 0.002 from 4.97 at init), and rotation
+  augmentation must be off (see train_rotation below).
 """
 import json
 import os
@@ -54,12 +67,19 @@ def main(epochs=600):
                     "--compile-cache", "~/.jax_cache_tests",
                     "--set", "lr=" + os.environ.get("FABIND_PROBE_LR", "3e-4"),
                     "--set", "warmup_epochs=1",
+                    # rotation augmentation off: per-step random init
+                    # orientation flips which automorphism is closest, and
+                    # a probe-sized model then collapses to the basin
+                    # MIDPOINT (measured: rmsd_id == rmsd_swap == 3.4)
+                    # instead of settling in one — the knob isolates the
+                    # permutation machinery, which is what this probes
+                    "--set", "train_rotation=false",
                     "--set", "steps_per_epoch=1"] + SHAPE_SETS)
     recs = [json.loads(line) for line in
             open(os.path.join(out, "metrics.jsonl")) if '"train"' in line]
     losses = [r["loss"] for r in recs if "loss" in r]
     rad = [r["pocket_radius_loss"] for r in recs if "pocket_radius_loss" in r]
-    coord = [r["coord_loss"] for r in recs if "coord_loss" in r]
+    coord = [r["com_coord_loss"] for r in recs if "com_coord_loss" in r]
 
     res = {"loss_first": float(np.mean(losses[:2])),
            "loss_last": float(np.mean(losses[-2:])),
