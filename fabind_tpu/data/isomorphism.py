@@ -77,13 +77,9 @@ def enumerate_automorphisms(n_atoms: int, edges: Sequence, node_labels,
     use_alarm = (timeout_s and timeout_s > 0
                  and threading.current_thread() is threading.main_thread())
     deadline = (time.monotonic() + timeout_s) if timeout_s else None
-    old_handler = None
-    if use_alarm:
-        def _raise(signum, frame):
-            raise _IsoTimeout()
-        old_handler = signal.signal(signal.SIGALRM, _raise)
-        signal.setitimer(signal.ITIMER_REAL, timeout_s)
-    try:
+
+    def _scan():
+        nonlocal truncated
         for mapping in matcher.isomorphisms_iter():
             if deadline is not None and time.monotonic() > deadline:
                 truncated = True
@@ -98,12 +94,31 @@ def enumerate_automorphisms(n_atoms: int, edges: Sequence, node_labels,
                 truncated = True
                 break
             isos.append(np.asarray(perm, np.int32))
-    except _IsoTimeout:
-        truncated = True
-    finally:
-        if use_alarm:
+
+    if use_alarm:
+        def _raise(signum, frame):
+            raise _IsoTimeout()
+        old_handler = signal.signal(signal.SIGALRM, _raise)
+        # The one-shot itimer fires exactly once, so at most one
+        # _IsoTimeout can ever be raised: either mid-scan (caught below,
+        # cleanup on the try side completes undisturbed) or in the window
+        # between the scan finishing and setitimer(0) taking effect — in
+        # which case the except side re-runs the cleanup, which can no
+        # longer be interrupted.
+        try:
+            signal.setitimer(signal.ITIMER_REAL, timeout_s)
+            _scan()
             signal.setitimer(signal.ITIMER_REAL, 0)
             signal.signal(signal.SIGALRM, old_handler)
+        except _IsoTimeout:
+            truncated = True
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, old_handler)
+    else:
+        try:
+            _scan()
+        except _IsoTimeout:
+            truncated = True
     out = [np.arange(n_atoms, dtype=np.int32)] + isos
     return np.stack(out), truncated
 
