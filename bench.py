@@ -191,7 +191,7 @@ def main():
 
     cps = batch_size * iters / dt
     tag = "bf16" if use_bf16 else "fp32"
-    model_tag = ("fabind+ (ln_mlp fused)" if preset_name == "fabind_plus"
+    model_tag = ("fabind+ (ln_mlp decomposed)" if preset_name == "fabind_plus"
                  else "fabind base")
     print(json.dumps({
         "metric": (f"complexes/sec/chip ({model_tag} inference, {tag_shape}, "

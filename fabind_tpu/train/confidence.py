@@ -5,9 +5,11 @@ utils/training_confidence.py:13-349: the regression checkpoint is frozen
 except the confidence head (`ranking_*` params, train_confidence.py:163-166);
 each complex is duplicated num_copies times (confidence_dataloader.py:27-39)
 and run through the *stochastic* forward (dropout active at inference —
-sampling mode); a pairwise ranking loss orders the copies by their plain
-(non-symmetric) RMSD, exactly like the reference
-(training_confidence.py:41-43 uses scatter_mean(sd).sqrt()).
+sampling mode); a pairwise ranking loss orders the ENTIRE duplicated batch
+by plain (non-symmetric) RMSD — cross-complex pairs included, exactly like
+the reference (training_confidence.py:41-67 flattens copies x complexes,
+computes scatter_mean(sd).sqrt() per entry, then sums the pairwise
+logsigmoid loss over all pairs of the sorted batch).
 
 TPU design: instead of batch_size=1 with host-side copy duplication, copies
 live on a leading axis folded into the batch: [B, num_copies, ...] with the
@@ -71,23 +73,34 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
         rmsds = jax.vmap(
             lambda c: rmsd_per_copy(c, batch.lig_coords, batch.lig_mask)
         )(coords)                                       # [C, B]
-        # per-complex pairwise ranking loss over copies
-        def per_complex(s, r):
-            return confidence_ranking_loss(
-                s, jax.lax.stop_gradient(r),
-                loss_type=cfg.train.ranking_loss,
-                keep_cls_2a=cfg.train.keep_cls_2A)
-        losses = jax.vmap(per_complex, in_axes=(1, 1))(scores, rmsds)
         # trailing-batch padding duplicates get zero weight (sample_valid)
         if batch.sample_valid is not None:
             svf = batch.sample_valid.astype(jnp.float32)
         else:
-            svf = jnp.ones(losses.shape[0], jnp.float32)
+            svf = jnp.ones(scores.shape[1], jnp.float32)
         nsv = jnp.maximum(jnp.sum(svf), 1.0)
-        loss = jnp.sum(losses * svf) / nsv
-        # ranking metrics, reference-exact (training_confidence.py:49-79):
-        # pairwise accuracy = P(score_better > score_worse) over copy pairs
-        # ordered by RMSD; hit = the min-RMSD copy has strictly max score.
+        # GLOBAL pairwise ranking over the flattened copies x complexes set,
+        # reference-exact: training_confidence.py:50-67 sorts the whole
+        # duplicated batch by RMSD, so cross-complex pairs train an absolute
+        # pose-quality scale (within-complex pairs are a subset)
+        flat_s = scores.reshape(-1)
+        flat_r = rmsds.reshape(-1)
+        flat_v = jnp.broadcast_to(svf[None, :], scores.shape).reshape(-1) > 0
+        loss = confidence_ranking_loss(
+            flat_s, jax.lax.stop_gradient(flat_r), valid=flat_v,
+            loss_type=cfg.train.ranking_loss,
+            keep_cls_2a=cfg.train.keep_cls_2A)
+        # ranking_accuracy, reference-exact (training_confidence.py:64):
+        # fraction of correctly ordered pairs over the same global pair set
+        fb = ((flat_r[:, None] < flat_r[None, :])
+              & flat_v[:, None] & flat_v[None, :])
+        fbf = fb.astype(jnp.float32)
+        acc_global = (jnp.sum((flat_s[:, None] > flat_s[None, :]) * fbf)
+                      / jnp.maximum(jnp.sum(fbf), 1.0))
+        # per-complex diagnostics (stricter than the reference's metric):
+        # within-complex pair accuracy over copies, and hit = the min-RMSD
+        # copy of THIS complex has strictly max score (chance 1/n_copies) —
+        # this is what best-of-N selection at inference actually relies on.
         def pair_metrics(s, r):
             order = jnp.argsort(r)
             ss = s[order]
@@ -104,7 +117,9 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
             rmsds, best_by_score[None], axis=0)[0]
         metrics = {
             "confidence_loss": loss,
-            "ranking_accuracy": jnp.sum(accs.astype(jnp.float32) * svf) / nsv,
+            "ranking_accuracy": acc_global,
+            "ranking_accuracy_within": jnp.sum(
+                accs.astype(jnp.float32) * svf) / nsv,
             "hit_rate": jnp.sum(hits.astype(jnp.float32) * svf) / nsv,
             "chosen_rmsd_lt2": jnp.sum(
                 (chosen_rmsd < 2).astype(jnp.float32) * svf) / nsv,

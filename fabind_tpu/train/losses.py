@@ -214,27 +214,43 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
 
 
 def confidence_ranking_loss(scores: Array, rmsds: Array,
+                            valid: Optional[Array] = None,
                             loss_type: str = "logsigmoid",
                             keep_cls_2a: bool = False) -> Array:
-    """Pairwise ranking loss over num_copies poses of one complex
+    """Pairwise ranking loss over a flat set of scored poses
     (FABind_plus/fabind/utils/training_confidence.py:50-77).
 
-    scores/rmsds: [n_copies]. Lower rmsd should score higher.
+    The reference sorts the ENTIRE flattened batch (num_copies copies of
+    every complex in the batch) by RMSD and sums the pairwise loss over all
+    pairs — cross-complex pairs included, so the head learns an absolute
+    pose-quality scale, not merely a per-complex ordering. scores/rmsds:
+    [n]; lower rmsd should score higher. valid [n] masks padding entries
+    (the reference has none; trailing-batch duplicates here must not pair).
     """
-    n = scores.shape[0]
-    order = jnp.argsort(rmsds)                       # best first
-    s = scores[order]
-    # all pairs (i better than j) for i<j
-    ii, jj = jnp.triu_indices(n, k=1)
-    diff = s[ii] - s[jj]
+    s = scores.astype(jnp.float32)
+    r = rmsds.astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones(s.shape[0], bool)
+    v = valid.astype(bool)
+    # pair (i, j) where i is strictly better (lower rmsd); equal-rmsd pairs
+    # contribute nothing in either orientation (the reference's argsort
+    # orients them arbitrarily — they only arise here between identical
+    # padding copies, which `valid` already removes)
+    better = (r[:, None] < r[None, :]) & v[:, None] & v[None, :]
+    bf = better.astype(jnp.float32)
+    npairs = jnp.maximum(jnp.sum(bf), 1.0)
+    diff = s[:, None] - s[None, :]                  # score(better)-score(worse)
     if loss_type == "logsigmoid":
-        loss = -jnp.mean(jax.nn.log_sigmoid(diff))
+        loss = jnp.sum(-jax.nn.log_sigmoid(diff) * bf) / npairs
     elif loss_type == "dynamic_hinge":
-        margin = (rmsds[order][jj] - rmsds[order][ii])
-        loss = jnp.mean(jnp.maximum(0.0, margin - diff))
+        margin = r[None, :] - r[:, None]            # rmsd(worse)-rmsd(better)
+        loss = jnp.sum(jnp.maximum(0.0, margin - diff) * bf) / npairs
     else:
         raise ValueError(loss_type)
     if keep_cls_2a:
-        labels = (rmsds < 2.0).astype(scores.dtype)
-        loss = loss + jnp.mean(bce_with_logits(scores, labels))
+        labels = (r < 2.0).astype(s.dtype)
+        vf = v.astype(jnp.float32)
+        ce = jnp.sum(bce_with_logits(s, labels) * vf) / jnp.maximum(
+            jnp.sum(vf), 1.0)
+        loss = loss + ce
     return loss

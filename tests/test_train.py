@@ -157,6 +157,30 @@ def test_confidence_ranking_loss():
     bad = confidence_ranking_loss(-scores, rmsds)
     assert float(good) < float(bad)
 
+    # perfectly ordered scores drive the logsigmoid loss below ln(2); the
+    # anti-ordered set sits above it
+    assert float(good) < float(jnp.log(2.0)) < float(bad)
+
+    # valid mask removes an entry's pairs entirely: masking out the worst
+    # pose leaves only the (best, mid) pair
+    masked = confidence_ranking_loss(
+        scores, rmsds, valid=jnp.asarray([True, False, True]))
+    expect = -jax.nn.log_sigmoid(scores[0] - scores[2])
+    np.testing.assert_allclose(float(masked), float(expect), rtol=1e-6)
+
+    # dynamic_hinge: a score gap larger than the rmsd gap on every pair
+    # zeroes the loss (training_confidence.py:58-60)
+    wide = jnp.asarray([10.0, 0.0, 5.0])
+    assert float(confidence_ranking_loss(
+        wide, rmsds, loss_type="dynamic_hinge")) == 0.0
+    assert float(confidence_ranking_loss(
+        -wide, rmsds, loss_type="dynamic_hinge")) > 0.0
+
+    # keep_cls_2a adds the BCE(score, rmsd<2A) term (training_confidence
+    # .py:68-71): a loss with it is strictly larger for imperfect logits
+    with_ce = confidence_ranking_loss(scores, rmsds, keep_cls_2a=True)
+    assert float(with_ce) > float(good)
+
 
 def test_confidence_step_freezes_backbone():
     """The confidence train step must update ONLY ranking_* params

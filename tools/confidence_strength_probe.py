@@ -2,14 +2,35 @@
 
 Round 2 proved the confidence pipeline *executes* (loss descends over 5
 epochs on a 1-epoch backbone); this probe demonstrates it *works*: on a
-properly overfit plus backbone, train the head until ranking metrics beat
-chance, then show best-of-N selection by confidence beats the mean
-single-pose RMSD — the entire point of the sampling pipeline (reference
-test_sampling_fabind.py:163-204, training_confidence.py:143-149).
+properly overfit plus backbone, train the head until the reference's
+ranking metric clearly beats chance, then show best-of-N selection by
+confidence beats the mean single-pose RMSD — the point of the sampling
+pipeline (reference test_sampling_fabind.py:163-204,
+training_confidence.py:143-149).
 
-One JSON line out:
-  ranking_accuracy / hit_rate (last-5-epoch means),
-  mean_single_pose_rmsd vs best_of_rmsd on the fixture test split.
+What is (and is not) demonstrable at probe scale, with measurements:
+- ranking_accuracy — the reference's metric (training_confidence.py:64):
+  pair accuracy over the WHOLE flattened copies x complexes batch,
+  cross-complex pairs included. Learns decisively here (0.5 -> ~0.7,
+  ranking loss ~22 -> <1): the head acquires an absolute pose-quality
+  scale.
+- best-of-N — aggregated over 5 sampling seeds on the test split,
+  best-of-8 by confidence beats the mean single pose (the score's global
+  scale rejects the worst outliers of each complex's sample set).
+- hit_rate / within-complex ranking stays at chance (1/num_copies) BY
+  CONSTRUCTION at this scale, and that is a property of the probe
+  distribution, not the pipeline: on the overfit tiny backbone the only
+  within-complex pose diversity is dropout jitter, and a ridge decode of
+  RMSD from the head's own input (the sum-pooled complex embedding,
+  64 copies/complex, per-complex centered, held-out copies) yields
+  Spearman ~0.03 at hidden 32 (~0.13 at 64) — the information the head
+  would need simply is not in its input. The reference never reports
+  within-complex metrics either; its hit metric is the same global kind
+  (training_confidence.py:79). See tools/confidence_decodability_probe.py.
+
+One JSON line out: ranking_accuracy (global, reference metric) /
+ranking_accuracy_within / hit_rate last-5-epoch means, then
+mean_single_pose_rmsd vs best_of_rmsd aggregated over SEEDS x test split.
 Mirrored by tests/test_real_data.py::test_confidence_ranking_beats_chance.
 """
 import json
@@ -27,21 +48,27 @@ jax.config.update("jax_platforms", os.environ.get("FABIND_PROBE_PLATFORM",
 
 import numpy as np
 
+# hidden 32, not the suite-wide 16: the confidence head reads the
+# SUM-POOLED complex embedding (reference model.py:393-399) and must
+# decode pose quality from it — at 16 dims the pool is too lossy and
+# the ranking loss plateaus near its ln(2) floor (measured: ranking_acc
+# ~0.55 across 120 epochs at any head LR).
+_H = int(os.environ.get("FABIND_PROBE_HIDDEN", "32"))
 SHAPE_SETS = ["--set", "max_ligand=16", "--set", "max_pocket=32",
               "--set", "max_protein=40", "--set", "ctx_k=8",
-              "--set", "ctx_k_whole=8", "--set", "hidden_size=16",
-              "--set", "pocket_pred_hidden_size=16",
+              "--set", "ctx_k_whole=8", "--set", f"hidden_size={_H}",
+              "--set", f"pocket_pred_hidden_size={_H}",
               "--set", "mean_layers=1", "--set", "n_iter=2"]
 KV = {kv.split("=")[0]: int(kv.split("=")[1])
       for kv in SHAPE_SETS if "=" in kv}
 
 
-def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
+def make_overfit_backbone(tmp, backbone_epochs=600):
+    """Build the overfit-fixture + plus-backbone pair shared by this probe
+    and tools/confidence_decodability_probe.py. Returns (root, reg)."""
     from fixture_pdbbind import make_reference_fixture
     from fabind_tpu.cli import train as train_cli
-    from fabind_tpu.cli import train_confidence as conf_cli
 
-    tmp = tempfile.mkdtemp(prefix="fabind_conf_strength_")
     root = os.path.join(tmp, "pdbbind_plus")
     make_reference_fixture(root, plus=True, overfit=True, n_test=4)
     reg = os.path.join(tmp, "reg")
@@ -60,12 +87,39 @@ def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
                     "--set", "lr=" + os.environ.get("FABIND_PROBE_LR",
                                                     "1e-3"),
                     "--set", "warmup_epochs=1",
-                    "--set", "steps_per_epoch=1"] + SHAPE_SETS)
+                    # schedule horizon must match the REAL cadence: the
+                    # overfit fixture yields 5 train complexes -> 2 batches
+                    # of 4 per epoch. steps_per_epoch=1 halves the poly_decay
+                    # horizon, pinning LR~0 for the back half of training
+                    # (measured: deterministic test rmsd_lt2 stalls at 0.75)
+                    "--set", "steps_per_epoch=2"] + SHAPE_SETS)
+    return root, reg
+
+
+def main(backbone_epochs=600, conf_epochs=150, sample_size=8):
+    from fabind_tpu.cli import train_confidence as conf_cli
+
+    tmp = tempfile.mkdtemp(prefix="fabind_conf_strength_")
+    root, reg = make_overfit_backbone(tmp, backbone_epochs)
 
     conf = os.path.join(tmp, "conf")
     conf_cli.main(["--data", root, "--output", conf,
                    "--init-ckpt", os.path.join(reg, "ckpt"),
                    "--epochs", str(conf_epochs), "--batch-size", "4",
+                   # head-only Adam at probe scale: the preset's 5e-5 is
+                   # sized for 1500 epochs x PDBbind; at ~100 fixture
+                   # epochs the head barely moves off init
+                   "--set", "lr=3e-3",
+                   # dropout 0.3, not the preset 0.1: on the overfit probe
+                   # backbone, dropout is the only pose-diversity source, and
+                   # at 0.1 the within-complex RMSD spread across copies is
+                   # ~0.09 A (pure noise — unrankable), while 0.3 gives
+                   # std 0.59 A / range 2.4 A with oracle best-of 1.56 vs
+                   # single-pose mean 2.17 (measured by a 16-copy sweep over
+                   # {0.1, 0.3, 0.5}; 0.5 degrades the oracle to 2.0).
+                   # The reference gets this spread for free on full PDBbind
+                   # from its non-overfit backbone at dropout 0.1.
+                   "--set", "dropout=0.3",
                    "--num-copies", "4"] + SHAPE_SETS)
 
     recs = [json.loads(line) for line in
@@ -79,6 +133,8 @@ def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
             [r["confidence_loss"] for r in tail])),
         "ranking_accuracy_last5": float(np.mean(
             [r["ranking_accuracy"] for r in tail])),
+        "ranking_accuracy_within_last5": float(np.mean(
+            [r["ranking_accuracy_within"] for r in tail])),
         "hit_rate_last5": float(np.mean([r["hit_rate"] for r in tail])),
     }
 
@@ -90,7 +146,9 @@ def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
     from fabind_tpu.train import checkpoints
     from fabind_tpu.data.types import dummy_batch
 
-    cfg = preset("fabind_plus_sampling", batch_size=4, **KV)
+    # dropout 0.3 at sampling too: eval-time pose diversity must match what
+    # the head was trained to rank (see the conf_cli comment above)
+    cfg = preset("fabind_plus_sampling", batch_size=4, dropout=0.3, **KV)
     model = make_model(cfg)
     k = jax.random.PRNGKey(0)
     tmpl = jax.jit(lambda: model.init(
@@ -105,30 +163,39 @@ def main(backbone_epochs=600, conf_epochs=40, sample_size=8):
     src = PDBBindLMDBSource(root)
     idx = src.splits("fabind_plus")["test"]
     loader = Loader(src, idx, cfg, group="test")
-    singles, bests = [], []
-    for batch in loader.epoch(0):
-        coords, scores = sample_poses(model, {"params": params}, batch, cfg,
-                                      sample_size, seed=1)
-        gt = np.asarray(batch.lig_coords)
-        lm = np.asarray(batch.lig_mask)
-        sv = np.asarray(batch.sample_valid).astype(bool) \
-            if batch.sample_valid is not None else np.ones(gt.shape[0], bool)
-        for b in range(gt.shape[0]):
-            if not sv[b]:
-                continue
-            n = int(lm[b].sum())
-            r = np.sqrt(((np.asarray(coords)[:, b, :n] - gt[b, :n]) ** 2)
-                        .sum(-1).mean(-1))              # [S]
-            singles.append(float(r.mean()))
-            bests.append(float(r[int(np.argmax(np.asarray(scores)[:, b]))]))
+    # aggregate over several sampling seeds: one draw of 8 copies x 4 test
+    # complexes is dropout-noise-dominated; 5 seeds give 20 paired
+    # (seed, complex) comparisons, all deterministic given the seed list
+    singles, bests, oracles = [], [], []
+    for seed in (1, 2, 3, 4, 5):
+        for batch in loader.epoch(0):
+            coords, scores = sample_poses(model, params, batch, cfg,
+                                          sample_size, seed=seed)
+            gt = np.asarray(batch.lig_coords)
+            lm = np.asarray(batch.lig_mask)
+            sv = np.asarray(batch.sample_valid).astype(bool) \
+                if batch.sample_valid is not None \
+                else np.ones(gt.shape[0], bool)
+            for b in range(gt.shape[0]):
+                if not sv[b]:
+                    continue
+                n = int(lm[b].sum())
+                r = np.sqrt(((np.asarray(coords)[:, b, :n] - gt[b, :n]) ** 2)
+                            .sum(-1).mean(-1))              # [S]
+                singles.append(float(r.mean()))
+                bests.append(
+                    float(r[int(np.argmax(np.asarray(scores)[:, b]))]))
+                oracles.append(float(r.min()))
     res["mean_single_pose_rmsd"] = float(np.mean(singles))
     res["best_of_rmsd"] = float(np.mean(bests))
-    res["oracle_best_rmsd"] = None
+    res["oracle_best_rmsd"] = float(np.mean(oracles))
+    res["best_of_win_fraction"] = float(np.mean(
+        [b < s for b, s in zip(bests, singles)]))
     print(json.dumps(res))
     return res
 
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 600,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 40,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 150,
          int(sys.argv[3]) if len(sys.argv) > 3 else 8)
