@@ -160,6 +160,47 @@ class DockingEngine:
             params = cast_tree_bf16(params)
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
+    @classmethod
+    def from_exported(cls, path: str, esm_device: str = "cpu",
+                      post_optim_steps: Optional[int] = None
+                      ) -> "DockingEngine":
+        """Serve from an AOT artifact directory (fabind_tpu.aot) instead of
+        model code + checkpoint: the per-bucket executables are deserialized
+        `jax.export` programs with the weights baked in, so this process
+        never traces or initializes the flax model. Every dock_* method
+        works except dock_best_of (stochastic sampling needs the live model
+        for per-copy dropout rngs — export the sampling program separately
+        if needed). `post_optim_steps` is baked into the artifact at export
+        time; passing a different value here is an error by design."""
+        from fabind_tpu.aot import ExportedInference
+
+        ex = ExportedInference(path)
+        if (post_optim_steps is not None
+                and post_optim_steps != ex.post_optim_steps):
+            raise ValueError(
+                f"post_optim_steps is baked into the artifact at export "
+                f"time (artifact: {ex.post_optim_steps}, requested: "
+                f"{post_optim_steps}) — re-export with the desired value")
+        self = cls.__new__(cls)
+        self.cfg = ex.cfg
+        self.batch_size = ex.batch_size
+        self.bf16 = ex.bf16
+        # post-optimization already runs INSIDE the exported program;
+        # keeping 0 here stops dock_raw/_fn-level re-application
+        self.post_optim_steps = 0
+        self.esm_device = esm_device
+        self._lock = threading.RLock()
+        self._protein_cache = OrderedDict()
+        self._protein_locks = {}
+        self.dp = 1
+        self._mesh = None
+        self.bucket_cfgs = ex.bucket_cfgs
+        self._models = {}            # no live models: AOT-only engine
+        self._fns = {id(c): ex.fn(c) for c in ex.bucket_cfgs}
+        self.params = None           # baked into the artifacts
+        self._exported = ex
+        return self
+
     def warmup(self) -> float:
         """Compile every bucket's executable now (one dummy batch each)
         instead of on its first real request. Returns seconds spent.
@@ -383,6 +424,11 @@ class DockingEngine:
         keeps only coords/scores)."""
         from fabind_tpu.cli.sample import sample_poses
 
+        if not self._models:
+            raise NotImplementedError(
+                "dock_best_of needs the live model (per-copy dropout rngs); "
+                "this engine was built with DockingEngine.from_exported — "
+                "use a checkpoint-backed engine for sampling")
         results: List[Optional[Pose]] = [None] * len(raws)
         for bi, (chunk, cfg_b, batch, n_real) in enumerate(
                 self._routed_batches(raws, results)):
