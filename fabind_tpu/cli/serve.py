@@ -8,6 +8,10 @@ Usage:
   python -m fabind_tpu.cli.serve --preset fabind --ckpt ckpt/best_model.bin \
       [--port 8400] [--batch-size 16] [--no-bf16] [--dp N] \
       [--buckets auto --data /path/pdbbind | --buckets l:p:r,l:p:r]
+
+  # or serve an AOT artifact directory (cli.export): no model code traced,
+  # no checkpoint loaded — preset/bucket/batch/bf16 come from its manifest
+  python -m fabind_tpu.cli.serve --exported exported/ [--port 8400]
 """
 from __future__ import annotations
 
@@ -44,12 +48,41 @@ def main(argv=None):
                    help="compile every bucket's executable before binding "
                         "the port (first request then serves at steady-state "
                         "latency instead of paying the ~20-60s compile)")
+    p.add_argument("--exported", default=None, metavar="DIR",
+                   help="serve a cli.export AOT artifact directory instead "
+                        "of --ckpt: weights are baked into the per-bucket "
+                        "executables, and config/buckets/batch-size/bf16 "
+                        "come from the manifest — model flags passed "
+                        "alongside are rejected to prevent silent "
+                        "disagreement (--preset/--batch-size have argparse "
+                        "defaults and are simply ignored)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
     from fabind_tpu.config import preset
     from fabind_tpu.serve import DockingEngine
     from fabind_tpu.serve_http import serve_forever
+
+    if args.exported:
+        baked = [n for n, v in [("--ckpt", args.ckpt),
+                                ("--buckets", args.buckets),
+                                ("--set", args.set or None),
+                                ("--dp", args.dp if args.dp != 1 else None),
+                                ("--no-bf16", args.no_bf16 or None),
+                                ("--post-optim-steps",
+                                 args.post_optim_steps or None)]
+                 if v is not None]
+        if baked:
+            raise SystemExit(f"--exported bakes these into the artifact; "
+                             f"drop {', '.join(baked)} (re-export to change "
+                             f"them)")
+        engine = DockingEngine.from_exported(args.exported)
+        if args.warmup:
+            print(f"warming up {len(engine.bucket_cfgs)} bucket(s)...",
+                  flush=True)
+            print(f"warmup done in {engine.warmup():.1f}s")
+        serve_forever(engine, args.host, args.port, pdb_root=args.pdb_root)
+        return
 
     from fabind_tpu.config import parse_overrides
     overrides = parse_overrides(args.set)

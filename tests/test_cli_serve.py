@@ -61,3 +61,31 @@ def test_cli_serve_auto_requires_data():
     from fabind_tpu.cli import serve as cs
     with pytest.raises(SystemExit):
         cs.main(["--preset", "fabind", "--buckets", "auto"] + _TINY_SET)
+
+
+def test_cli_serve_exported_artifact(tmp_path, monkeypatch):
+    from fabind_tpu.aot import export_inference
+    from fabind_tpu.config import preset
+    from fabind_tpu.serve import DockingEngine
+
+    cfg = preset("fabind", **TINY)
+    out = str(tmp_path / "art")
+    export_inference(cfg, DockingEngine(cfg, batch_size=2, bf16=False).params,
+                     out, batch_size=2, bf16=True, platforms=("cpu",))
+
+    captured = _capture_serve(monkeypatch)
+    from fabind_tpu.cli import serve as cs
+    cs.main(["--exported", out, "--port", "8321"])
+    eng = captured["engine"]
+    assert captured["hp"] == ("127.0.0.1", 8321)
+    # manifest-driven engine: config/batch/bf16 from the artifact, no live
+    # models, executables prepopulated for every bucket
+    assert eng.batch_size == 2 and eng.bf16 is True
+    assert eng.cfg.model.hidden_size == TINY["hidden_size"]
+    assert not eng._models and len(eng._fns) == len(eng.bucket_cfgs) == 1
+
+    # model flags alongside --exported are rejected, not silently ignored
+    with pytest.raises(SystemExit, match="re-export"):
+        cs.main(["--exported", out, "--buckets", "8:16:32"])
+    with pytest.raises(SystemExit, match="re-export"):
+        cs.main(["--exported", out, "--no-bf16"])
