@@ -10,6 +10,12 @@ ranking loss, and report ranking-accuracy / hit-rate per epoch.
 Where the reference is locked to batch_size=1 with num_copies host-side
 duplicates (train_confidence.py:218, confidence_dataloader.py:27-39), the
 copies here live on a device axis inside one jit — any batch size works.
+Because the reference's bs=1 makes every ranking pair within-complex, the
+default --pair-scope within reproduces its protocol exactly at any batch
+size (per-complex pairs, per-complex normalization, mean over complexes —
+the mean of reference steps; goldened in tests/test_golden_confidence.py);
+--pair-scope global is a documented extension that also ranks
+cross-complex pairs.
 
 Usage:
   python -m fabind_tpu.cli.train_confidence --data /path/to/pdbbind \
@@ -42,6 +48,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--ranking-loss", default=None,
                    choices=[None, "logsigmoid", "dynamic_hinge"])
+    p.add_argument("--pair-scope", default=None,
+                   choices=[None, "within", "global"],
+                   help="ranking-pair scope: 'within' (default) is the "
+                        "reference protocol (bs=1 semantics — pairs only "
+                        "between copies of the same complex); 'global' is "
+                        "the cross-complex extension")
     p.add_argument("--keep-cls-2A", action="store_true")
     p.add_argument("--stack-mlp", action="store_true")
     p.add_argument("--wandb", action="store_true",
@@ -70,6 +82,8 @@ def main(argv=None):
         overrides["seed"] = args.seed
     if args.ranking_loss:
         overrides["ranking_loss"] = args.ranking_loss
+    if args.pair_scope:
+        overrides["ranking_pair_scope"] = args.pair_scope
     if args.keep_cls_2A:
         overrides["keep_cls_2A"] = True
     if args.stack_mlp:

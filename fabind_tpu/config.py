@@ -199,6 +199,12 @@ class TrainConfig:
     num_copies: int = 5
     ranking_loss: str = "logsigmoid"  # logsigmoid | dynamic_hinge
     keep_cls_2A: bool = False
+    # ranking-pair scope: "within" is the reference protocol (its mandatory
+    # batch_size=1 + num_copies duplicates of ONE complex,
+    # train_confidence.py:218, makes every pair within-complex); "global"
+    # is a documented extension that also ranks cross-complex pairs (an
+    # absolute pose-quality scale). See train/confidence.py.
+    ranking_pair_scope: str = "within"
 
     bf16: bool = False
     dp_size: int = 1                # data-parallel mesh size

@@ -5,11 +5,23 @@ utils/training_confidence.py:13-349: the regression checkpoint is frozen
 except the confidence head (`ranking_*` params, train_confidence.py:163-166);
 each complex is duplicated num_copies times (confidence_dataloader.py:27-39)
 and run through the *stochastic* forward (dropout active at inference —
-sampling mode); a pairwise ranking loss orders the ENTIRE duplicated batch
-by plain (non-symmetric) RMSD — cross-complex pairs included, exactly like
-the reference (training_confidence.py:41-67 flattens copies x complexes,
-computes scatter_mean(sd).sqrt() per entry, then sums the pairwise
-logsigmoid loss over all pairs of the sorted batch).
+sampling mode); a pairwise ranking loss orders the duplicated batch by
+plain (non-symmetric) RMSD (training_confidence.py:41-67).
+
+Protocol note: the reference HARD-ASSERTS batch_size == 1 for confidence
+training (train_confidence.py:218), so its "batch" is num_copies copies of
+ONE complex and every ranking pair it forms is within-complex; its
+ranking_accuracy and hit metrics (training_confidence.py:64,77-79) are
+likewise within-complex. cfg.train.ranking_pair_scope selects:
+  - "within" (default — the reference protocol): pairs restricted to each
+    complex's copies, per-complex pair normalization, mean over complexes —
+    exactly the mean of reference bs=1 steps (goldened in
+    tests/test_golden_confidence.py against the reference's
+    train_one_epoch executed in place).
+  - "global" (extension, NOT the reference protocol): pairs over the whole
+    flattened copies x complexes set — cross-complex pairs train an
+    absolute pose-quality scale. Useful when within-complex pose diversity
+    is too small to rank (see tools/confidence_decodability_probe.py).
 
 TPU design: instead of batch_size=1 with host-side copy duplication, copies
 live on a leading axis folded into the batch: [B, num_copies, ...] with the
@@ -79,28 +91,40 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
         else:
             svf = jnp.ones(scores.shape[1], jnp.float32)
         nsv = jnp.maximum(jnp.sum(svf), 1.0)
-        # GLOBAL pairwise ranking over the flattened copies x complexes set,
-        # reference-exact: training_confidence.py:50-67 sorts the whole
-        # duplicated batch by RMSD, so cross-complex pairs train an absolute
-        # pose-quality scale (within-complex pairs are a subset)
+        # ranking over the flattened copies x complexes set; pair scope per
+        # cfg.train.ranking_pair_scope — "within" restricts pairs to each
+        # complex's copies (the reference's mandatory-bs=1 protocol,
+        # train_confidence.py:218), "global" includes cross-complex pairs
+        # (extension; see module docstring)
         flat_s = scores.reshape(-1)
         flat_r = rmsds.reshape(-1)
         flat_v = jnp.broadcast_to(svf[None, :], scores.shape).reshape(-1) > 0
+        scope = cfg.train.ranking_pair_scope
+        if scope == "within":
+            grp = jnp.broadcast_to(
+                jnp.arange(scores.shape[1])[None, :], scores.shape
+            ).reshape(-1)
+        elif scope == "global":
+            grp = None
+        else:
+            raise ValueError(f"ranking_pair_scope: {scope!r}")
         loss = confidence_ranking_loss(
             flat_s, jax.lax.stop_gradient(flat_r), valid=flat_v,
             loss_type=cfg.train.ranking_loss,
-            keep_cls_2a=cfg.train.keep_cls_2A)
-        # ranking_accuracy, reference-exact (training_confidence.py:64):
-        # fraction of correctly ordered pairs over the same global pair set
+            keep_cls_2a=cfg.train.keep_cls_2A, groups=grp)
+        # pair accuracy over the GLOBAL pair set (cross-complex included) —
+        # the extension scope's training metric
         fb = ((flat_r[:, None] < flat_r[None, :])
               & flat_v[:, None] & flat_v[None, :])
         fbf = fb.astype(jnp.float32)
         acc_global = (jnp.sum((flat_s[:, None] > flat_s[None, :]) * fbf)
                       / jnp.maximum(jnp.sum(fbf), 1.0))
-        # per-complex diagnostics (stricter than the reference's metric):
-        # within-complex pair accuracy over copies, and hit = the min-RMSD
-        # copy of THIS complex has strictly max score (chance 1/n_copies) —
-        # this is what best-of-N selection at inference actually relies on.
+        # per-complex metrics — at bs=1 these ARE the reference's metrics:
+        # its ranking_accuracy (training_confidence.py:64) and hit
+        # (training_confidence.py:77-79, score of the min-RMSD copy beats
+        # all other copies of the SAME complex; chance 1/n_copies) are both
+        # within-complex because every reference batch is one complex.
+        # hit is also what best-of-N selection at inference relies on.
         def pair_metrics(s, r):
             order = jnp.argsort(r)
             ss = s[order]
@@ -115,11 +139,15 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
         best_rmsd = jnp.min(rmsds, axis=0)
         chosen_rmsd = jnp.take_along_axis(
             rmsds, best_by_score[None], axis=0)[0]
+        acc_within = jnp.sum(accs.astype(jnp.float32) * svf) / nsv
         metrics = {
             "confidence_loss": loss,
-            "ranking_accuracy": acc_global,
-            "ranking_accuracy_within": jnp.sum(
-                accs.astype(jnp.float32) * svf) / nsv,
+            # the protocol metric for the configured scope; both scopes'
+            # accuracies are always reported alongside
+            "ranking_accuracy": (acc_within if scope == "within"
+                                 else acc_global),
+            "ranking_accuracy_global": acc_global,
+            "ranking_accuracy_within": acc_within,
             "hit_rate": jnp.sum(hits.astype(jnp.float32) * svf) / nsv,
             "chosen_rmsd_lt2": jnp.sum(
                 (chosen_rmsd < 2).astype(jnp.float32) * svf) / nsv,

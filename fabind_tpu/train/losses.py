@@ -216,37 +216,62 @@ def fabind_losses(out, batch, mcfg: ModelConfig, tcfg: TrainConfig
 def confidence_ranking_loss(scores: Array, rmsds: Array,
                             valid: Optional[Array] = None,
                             loss_type: str = "logsigmoid",
-                            keep_cls_2a: bool = False) -> Array:
-    """Pairwise ranking loss over a flat set of scored poses
+                            keep_cls_2a: bool = False,
+                            groups: Optional[Array] = None) -> Array:
+    """Pairwise ranking loss over a set of scored poses
     (FABind_plus/fabind/utils/training_confidence.py:50-77).
 
-    The reference sorts the ENTIRE flattened batch (num_copies copies of
-    every complex in the batch) by RMSD and sums the pairwise loss over all
-    pairs — cross-complex pairs included, so the head learns an absolute
-    pose-quality scale, not merely a per-complex ordering. scores/rmsds:
-    [n]; lower rmsd should score higher. valid [n] masks padding entries
-    (the reference has none; trailing-batch duplicates here must not pair).
+    The reference trains confidence with a MANDATORY batch_size of 1
+    (train_confidence.py:218) whose batch is num_copies host-side duplicates
+    of ONE complex (confidence_dataloader.py:27-39), so every ranking pair
+    it ever forms is within a single complex. `groups` reproduces that
+    protocol under real batching: entries pair only within their group
+    (= complex), each group's pair sum is normalized by its own pair count
+    (training_confidence.py:67 divides by n*(n-1)/2 per step), and the
+    per-group losses are averaged — exactly the mean of reference steps.
+
+    With groups=None the pair set is GLOBAL over the flat batch — a
+    documented extension, NOT the reference protocol: cross-complex pairs
+    train an absolute pose-quality scale across complexes, which the
+    reference's bs=1 loop never does.
+
+    scores/rmsds: [n]; lower rmsd should score higher. valid [n] masks
+    padding entries (the reference has none; trailing-batch duplicates here
+    must not pair). Equal-rmsd pairs contribute nothing in either
+    orientation (the reference's argsort orients them arbitrarily — they
+    only arise here between identical padding copies, which `valid`
+    already removes).
     """
     s = scores.astype(jnp.float32)
     r = rmsds.astype(jnp.float32)
     if valid is None:
         valid = jnp.ones(s.shape[0], bool)
     v = valid.astype(bool)
-    # pair (i, j) where i is strictly better (lower rmsd); equal-rmsd pairs
-    # contribute nothing in either orientation (the reference's argsort
-    # orients them arbitrarily — they only arise here between identical
-    # padding copies, which `valid` already removes)
+    # pair (i, j) where i is strictly better (lower rmsd)
     better = (r[:, None] < r[None, :]) & v[:, None] & v[None, :]
+    if groups is not None:
+        better = better & (groups[:, None] == groups[None, :])
     bf = better.astype(jnp.float32)
-    npairs = jnp.maximum(jnp.sum(bf), 1.0)
     diff = s[:, None] - s[None, :]                  # score(better)-score(worse)
     if loss_type == "logsigmoid":
-        loss = jnp.sum(-jax.nn.log_sigmoid(diff) * bf) / npairs
+        pair_loss = -jax.nn.log_sigmoid(diff) * bf
     elif loss_type == "dynamic_hinge":
         margin = r[None, :] - r[:, None]            # rmsd(worse)-rmsd(better)
-        loss = jnp.sum(jnp.maximum(0.0, margin - diff) * bf) / npairs
+        pair_loss = jnp.maximum(0.0, margin - diff) * bf
     else:
         raise ValueError(loss_type)
+    if groups is None:
+        loss = jnp.sum(pair_loss) / jnp.maximum(jnp.sum(bf), 1.0)
+    else:
+        # per-group pair normalization, then mean over groups that formed
+        # at least one pair — the mean of reference bs=1 steps
+        gid = jnp.unique(groups, size=groups.shape[0], fill_value=-1)
+        onehot = (groups[None, :] == gid[:, None]).astype(jnp.float32)  # [G,n]
+        g_pairs = jnp.einsum("gi,ij,gj->g", onehot, bf, onehot)
+        g_loss = jnp.einsum("gi,ij,gj->g", onehot, pair_loss, onehot)
+        has = (g_pairs > 0).astype(jnp.float32)
+        loss = jnp.sum(g_loss / jnp.maximum(g_pairs, 1.0) * has) \
+            / jnp.maximum(jnp.sum(has), 1.0)
     if keep_cls_2a:
         labels = (r < 2.0).astype(s.dtype)
         vf = v.astype(jnp.float32)
