@@ -66,6 +66,13 @@ def build_sample(raw: Dict[str, np.ndarray], cfg: FABindConfig,
     protein_xyz = np.asarray(raw["protein_xyz"], np.float32)
     coords = np.asarray(raw["lig_coords"], np.float32)
     rdkit_coords = np.asarray(raw["rdkit_coords"], np.float32)
+    if protein_xyz.shape[0] == 0:
+        # a malformed/empty PDB parses to zero residues; without this
+        # guard the empty mean below silently floods the sample (and the
+        # served Pose) with NaN instead of an error
+        raise ValueError("protein has no residues (failed PDB parse?)")
+    if coords.shape[0] == 0:
+        raise ValueError("ligand has no atoms")
 
     # protein-mean frame (utils.py:209-211)
     bias = protein_xyz.mean(axis=0)

@@ -421,21 +421,26 @@ class DockingEngine:
         pose it keeps, inference_sampling_fabind.py:184; optimizing all
         sample_size candidates would cost S× for poses that are discarded).
         Note: pocket_truncated is not measured on this path (sample_poses
-        keeps only coords/scores)."""
+        keeps only coords/scores).
+
+        Works on AOT engines too: `from_exported` artifacts built with
+        `sampling=True` carry the pocket half and the stochastic dock half
+        (explicit rng-key input) per bucket; artifacts exported without
+        them raise with a re-export hint."""
         from fabind_tpu.cli.sample import sample_poses
 
-        if not self._models:
-            raise NotImplementedError(
-                "dock_best_of needs the live model (per-copy dropout rngs); "
-                "this engine was built with DockingEngine.from_exported — "
-                "use a checkpoint-backed engine for sampling")
         results: List[Optional[Pose]] = [None] * len(raws)
         for bi, (chunk, cfg_b, batch, n_real) in enumerate(
                 self._routed_batches(raws, results)):
+            if self._models:
+                model, halves = self._models[id(cfg_b)], None
+            else:
+                model = None
+                halves = self._exported.sampling_halves(cfg_b)
             coords, scores = sample_poses(
-                self._models[id(cfg_b)], self.params, batch, cfg_b,
+                model, self.params, batch, cfg_b,
                 sample_size, seed=seed,
-                batch_idx=bi)                          # [S, B, Nc, 3], [S, B]
+                batch_idx=bi, halves=halves)           # [S, B, Nc, 3], [S, B]
             best = np.argmax(scores, axis=0)           # [B]
             win = coords[best, np.arange(coords.shape[1])]   # [B, Nc, 3]
             if self.post_optim_steps:
@@ -539,15 +544,21 @@ class DockingEngine:
         convention).
 
         METRIC CAVEAT (redocking benchmarks): when the input SDF holds the
-        crystal pose, its TORSIONS are the ground truth's — the reference
-        protocol instead regenerates an ETKDG conformer from SMILES
-        (inference_mol_utils.py:135-144), so RMSD numbers from this method
-        on GT SDFs are optimistic versus the published protocol.
-        `randomize_init=True` applies a seeded uniform random RIGID
-        rotation to the init conformer (the reference's rotated-rdkit init,
-        utils.py:307-311), removing orientation leakage; torsion
-        regeneration needs RDKit — use dock_smiles for the fully
-        protocol-comparable path.
+        crystal pose, its conformation is the ground truth's — the
+        reference protocol instead regenerates an ETKDG conformer from
+        SMILES (inference_mol_utils.py:135-144), so RMSD numbers from this
+        method on GT SDFs with randomize_init=False are optimistic versus
+        the published protocol. `randomize_init=True` closes that gap
+        RDKit-free: every rotatable-bond torsion is set to a seeded
+        uniform random angle (data/torsion.py — the reference's own
+        torsion-randomization semantics, utils.py:280-299) and a seeded
+        uniform random RIGID rotation is applied (the reference's
+        rotated-rdkit init, utils.py:307-311), removing both torsion and
+        orientation leakage. Bond lengths, bond angles, and all LAS-pair
+        distances are preserved exactly (LAS = bonds ∪ 2-hop ∪ shared-ring,
+        all torsion-invariant); the randomized conformer is also the LAS
+        reference + pair-distance featurization input, matching the
+        reference's use of its regenerated conformer.
 
         Each ligand may be a path to an .sdf file or raw molfile text
         (anything containing a newline is treated as text — the HTTP
@@ -556,6 +567,7 @@ class DockingEngine:
 
         from fabind_tpu.data import featurize as F
         from fabind_tpu.data.batching import uniform_random_rotation
+        from fabind_tpu.data.torsion import randomize_torsions
 
         rng = np.random.RandomState(seed)
         raws: List[Dict] = []
@@ -564,12 +576,15 @@ class DockingEngine:
                 feat = (F.featurize_sdf_text(sdf) if "\n" in sdf
                         else F.featurize_sdf(sdf))
                 if randomize_init:
-                    # rigid rotation about the centroid (the helper rotates
-                    # about the origin): LAS distances untouched,
-                    # orientation leakage removed
                     c = feat["coords"].mean(0, keepdims=True)
+                    # randomize_torsions returns a centered conformer;
+                    # rotate about the origin then restore the input
+                    # centroid so the init stays on the pocket
+                    rand = randomize_torsions(
+                        feat["coords"], feat["bond_edges"], rng,
+                        bond_orders=feat.get("bond_orders"))
                     feat = dict(feat, coords=(
-                        uniform_random_rotation(feat["coords"] - c, rng)
+                        uniform_random_rotation(rand, rng)
                         + c).astype(np.float32))
                 struct, esm = self._protein_raw(pdb_path)
                 raws.append({

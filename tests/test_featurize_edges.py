@@ -1,6 +1,6 @@
 """Edge-case hardening of the RDKit-free SDF path (advisor round-2 items):
 partial-hydrogen inputs warn, V2000 writer refuses >999 atoms/bonds,
-dock_sdf's randomize_init applies a seeded rigid rotation, and cli.inference
+dock_sdf's randomize_init randomizes torsions + rigid orientation, and cli.inference
 disambiguates colliding output names instead of overwriting."""
 from __future__ import annotations
 
@@ -70,13 +70,20 @@ def test_sdf_string_refuses_v2000_overflow(tmp_path):
     assert out.splitlines()[3].startswith("999  0")
 
 
-def test_dock_sdf_randomize_init_rigid_rotation():
-    """randomize_init rotates the init conformer rigidly about its centroid:
-    pair distances (the LAS reference) are preserved, orientation is not,
-    and the rotation is seed-deterministic. Exercised through the real
-    DockingEngine.dock_sdf body with a stub engine self (no compile)."""
+def test_dock_sdf_randomize_init_torsions_and_rotation():
+    """randomize_init randomizes every rotatable torsion AND applies a
+    rigid rotation about the input centroid (round-3 verdict item 5: the
+    protocol-comparable RDKit-free counterpart of the reference's ETKDG
+    conformer regeneration, inference_mol_utils.py:135-144 +
+    utils.py:280-311). Preserved exactly: bond lengths, bond-angle (2-hop)
+    distances — and therefore every LAS-pair distance (LAS = bonds ∪
+    2-hop ∪ shared-ring, all torsion-invariant). Changed: the rotatable
+    dihedral (3-hop distances) and the global orientation. Exercised
+    through the real DockingEngine.dock_sdf body with a stub engine self
+    (no compile)."""
     from fabind_tpu.serve import DockingEngine
 
+    # C-C-C-O chain: exactly one non-terminal single bond (1-2) rotatable
     symbols = ["C", "C", "C", "O"]
     coords = np.asarray([[0, 0, 0], [1.5, 0, 0], [2.2, 1.2, 0],
                          [3.6, 1.3, 0.8]], np.float32)
@@ -107,22 +114,27 @@ def test_dock_sdf_randomize_init_rigid_rotation():
     np.testing.assert_allclose(base["lig_coords"], coords, atol=1e-4)
 
     rot = run(True, seed=3)
-    # moved...
-    assert np.abs(rot["lig_coords"] - coords).max() > 0.1
-    # ...rigidly about the centroid
-    np.testing.assert_allclose(rot["lig_coords"].mean(0), coords.mean(0),
-                               atol=1e-4)
+    rc = rot["lig_coords"]
+    # moved, about the input centroid
+    assert np.abs(rc - coords).max() > 0.1
+    np.testing.assert_allclose(rc.mean(0), coords.mean(0), atol=1e-4)
     d0 = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
-    d1 = np.linalg.norm(rot["lig_coords"][:, None] - rot["lig_coords"][None],
-                        axis=-1)
-    np.testing.assert_allclose(d1, d0, atol=1e-4)
-    # LAS reference coords track the (rotated) init
-    np.testing.assert_allclose(rot["rdkit_coords"], rot["lig_coords"])
+    d1 = np.linalg.norm(rc[:, None] - rc[None], axis=-1)
+    # bond lengths and 2-hop (angle) distances preserved...
+    for i, j in [(0, 1), (1, 2), (2, 3), (0, 2), (1, 3)]:
+        np.testing.assert_allclose(d1[i, j], d0[i, j], atol=1e-4)
+    # ...which covers every LAS pair
+    las = base["las_mask"]
+    np.testing.assert_allclose(d1[las], d0[las], atol=1e-4)
+    # the 0-3 distance crosses the rotatable 1-2 bond: torsion randomized
+    assert not las[0, 3]
+    assert abs(d1[0, 3] - d0[0, 3]) > 0.05
+    # LAS reference coords track the randomized init (the reference also
+    # featurizes from its regenerated conformer)
+    np.testing.assert_allclose(rot["rdkit_coords"], rc)
     # seeded: reproducible, and different per seed
-    np.testing.assert_allclose(run(True, seed=3)["lig_coords"],
-                               rot["lig_coords"])
-    assert np.abs(run(True, seed=4)["lig_coords"]
-                  - rot["lig_coords"]).max() > 0.1
+    np.testing.assert_allclose(run(True, seed=3)["lig_coords"], rc)
+    assert np.abs(run(True, seed=4)["lig_coords"] - rc).max() > 0.1
 
 
 def test_cli_inference_disambiguates_duplicate_names(tmp_path, monkeypatch):
@@ -167,3 +179,32 @@ def test_cli_inference_disambiguates_duplicate_names(tmp_path, monkeypatch):
     a = open(rows[0]["sdf"]).read()
     b = open(rows[1]["sdf"]).read()
     assert a != b
+
+
+def test_empty_protein_is_clear_error_not_nan():
+    """A malformed PDB that parses to zero residues must surface as an
+    error Pose (skip-and-continue), never as silent NaN coordinates
+    (found by a round-4 verify drive: build_sample's protein-mean frame
+    floods NaN on an empty protein)."""
+    import pytest
+
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.batching import build_sample
+
+    raw = dict(protein_xyz=np.zeros((0, 3), np.float32),
+               esm_feat=np.zeros((0, 1280), np.float32),
+               lig_coords=np.ones((3, 3), np.float32),
+               lig_feats=np.zeros((3, 56), np.float32),
+               bond_edges=np.asarray([[0, 1], [1, 0]]),
+               las_mask=np.zeros((3, 3), bool),
+               rdkit_coords=np.ones((3, 3), np.float32))
+    cfg = preset("fabind", max_ligand=8, max_pocket=16, max_protein=32)
+    with pytest.raises(ValueError, match="no residues"):
+        build_sample(raw, cfg, group="test")
+    with pytest.raises(ValueError, match="no atoms"):
+        build_sample(dict(raw, protein_xyz=np.ones((5, 3), np.float32),
+                          lig_coords=np.zeros((0, 3), np.float32),
+                          rdkit_coords=np.zeros((0, 3), np.float32),
+                          lig_feats=np.zeros((0, 56), np.float32),
+                          las_mask=np.zeros((0, 0), bool)),
+                     cfg, group="test")

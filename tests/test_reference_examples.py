@@ -118,6 +118,45 @@ def test_dock_sdf_real_examples(engine):
         assert pose.sdf_meta is not None
 
 
+def test_randomized_init_on_real_ligands(engine):
+    """Protocol-comparable redocking init on the 4 REAL reference ligands
+    (round-3 verdict item 5): randomize_init=True must randomize torsions
+    + orientation while preserving chemistry — every LAS-pair distance
+    (the post-opt / featurization constraint set) stays exact while
+    non-LAS distances across rotatable bonds move. Then the poses still
+    dock to finite world-frame coords through the live engine. RMSD
+    degradation vs GT-init is NOT asserted here: weights are random in
+    this image (see module docstring), so pose quality is meaningless —
+    the init-leakage removal is the testable protocol property."""
+    from fabind_tpu.data.torsion import randomize_torsions, rotatable_bonds
+
+    rng = np.random.RandomState(0)
+    any_rotatable = False
+    for pdb in PDB_IDS:
+        f = F.featurize_sdf(sdf_path(pdb))
+        rb = rotatable_bonds(f["coords"].shape[0], f["bond_edges"],
+                             f.get("bond_orders"))
+        rand = randomize_torsions(f["coords"], f["bond_edges"], rng,
+                                  bond_orders=f.get("bond_orders"))
+        d0 = np.linalg.norm(f["coords"][:, None] - f["coords"][None], axis=-1)
+        d1 = np.linalg.norm(rand[:, None] - rand[None], axis=-1)
+        las = f["las_mask"]
+        np.testing.assert_allclose(d1[las], d0[las], atol=2e-3,
+                                   err_msg=f"{pdb}: LAS distances moved")
+        if rb:
+            any_rotatable = True
+            # real drug-like ligands: torsion randomization must actually
+            # change the conformation beyond the LAS constraint set
+            assert np.abs(d1[~las] - d0[~las]).max() > 0.3, pdb
+    assert any_rotatable, "no reference ligand had a rotatable bond?"
+
+    poses = engine.dock_sdf([(sdf_path(p), pdb_path(p)) for p in PDB_IDS],
+                            randomize_init=True, seed=1)
+    for pdb, pose in zip(PDB_IDS, poses):
+        assert pose.error is None, f"{pdb}: {pose.error}"
+        assert np.isfinite(pose.coords).all()
+
+
 @pytest.mark.slow
 def test_cli_inference_on_reference_examples(engine, tmp_path, monkeypatch):
     """cli.inference --ligand-sdf-dir over the reference example.csv:
