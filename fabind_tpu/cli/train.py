@@ -62,9 +62,11 @@ def main(argv=None):
                         "bucket it fits instead of being padded to "
                         "cfg.shapes; 'none' disables (single max-shape "
                         "bucket); or explicit 'lig:pocket:protein,...'. "
-                        "Multi-host dp degrades 'auto' to ONE auto-sized "
-                        "bucket (per-bucket batch counts are data-dependent "
-                        "per host and would desync the collective step)")
+                        "Under multi-host dp every host derives the same "
+                        "globally-deterministic bucket schedule (static "
+                        "routing + shared shuffle, data/dataset.py:"
+                        "_epoch_global_schedule), so the collective step "
+                        "can never desync")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="config override, e.g. --set max_ligand=32 "
                         "--set n_iter=4 (any ModelConfig/ShapeConfig/"
@@ -135,22 +137,14 @@ def main(argv=None):
              if jax.process_count() > 1 else None)
     from fabind_tpu.data.buckets import resolve_buckets
     buckets = resolve_buckets(args.buckets, cfg, source, splits["train"],
-                              group="train", single=shard is not None)
-    if buckets is not None and shard is not None:
-        # one count-stable bucket under multi-host dp: shrink the config's
-        # shapes to the measured maxima instead of running a bucket list
-        # (Loader rejects buckets+host_shard); samples past the measured
-        # maxima drop-with-substitution and are surfaced via n_dropped
-        cfg = cfg.replace(shapes=buckets[0])
+                              group="train")
+    if buckets is not None:
         logger.log_message(
-            f"multi-host: single auto bucket "
-            f"(lig {cfg.shapes.max_ligand}, pkt {cfg.shapes.max_pocket}, "
-            f"prot {cfg.shapes.max_protein})")
-        buckets = None
-    elif buckets is not None:
-        logger.log_message(
-            "train buckets: " + str([(s.max_ligand, s.max_pocket,
-                                      s.max_protein) for s in buckets]))
+            ("train buckets%s: " % (
+                " (multi-host: globally-deterministic schedule)"
+                if shard is not None else ""))
+            + str([(s.max_ligand, s.max_pocket,
+                    s.max_protein) for s in buckets]))
     train_loader = Loader(source, splits["train"], cfg, group="train",
                           seed=cfg.train.seed, workers=args.workers,
                           prefetch_depth=args.prefetch, host_shard=shard,
@@ -262,6 +256,13 @@ def main(argv=None):
             if args.save_every_steps and step % args.save_every_steps == 0:
                 ckptr.save(jax.device_get(state), meta=mid_meta, step=step)
         skip_batches = 0
+        # drain the async dispatch queue before stamping the epoch wall
+        # time: the loop body is non-blocking (jit dispatch is async), so
+        # without a sync the logged per-epoch time would exclude queued
+        # device work and overstate throughput (tools/perf_e2e_train.py
+        # reads these lines as the sustained-throughput measurement)
+        jax.block_until_ready(
+            jax.tree_util.tree_leaves(state.params)[:1])
         logger.log_message(
             f"epoch {epoch} done in {time.time()-t0:.1f}s; "
             f"dropped {train_loader.n_dropped} oversize samples")

@@ -282,7 +282,10 @@ class Loader:
     strided slice of the indices — the multi-host input sharding that
     replaces the reference's DDP DistributedSampler (SURVEY §2.3; each host
     feeds its own slice of the dp batch; shuffling stays deterministic
-    because every host derives the same epoch permutation before slicing)."""
+    because every host derives the same epoch permutation before slicing).
+    Combined with `buckets`, the loader switches to the globally-
+    deterministic bucket schedule (_epoch_global_schedule): same schedule
+    on every host, per-host stride within each global batch."""
 
     def __init__(self, source, indices: Sequence, cfg: FABindConfig,
                  group: str = "train", batch_size: Optional[int] = None,
@@ -303,10 +306,11 @@ class Loader:
         self.n_dropped = 0
         from fabind_tpu.data.buckets import sort_bucket_cfgs
         self.bucket_cfgs = sort_bucket_cfgs(cfg, buckets)
-        # bucket routing is data-dependent per host: per-host batch counts
-        # could desynchronize the collective dp step — single bucket only
-        assert host_shard is None or len(self.bucket_cfgs) == 1, \
-            "host_shard (multi-host dp) is incompatible with shape buckets"
+        # host_shard + buckets uses the globally-deterministic schedule
+        # path (_epoch_global_schedule): every host derives the SAME
+        # (bucket, global-batch) sequence, so per-host batch counts can
+        # never desynchronize the collective dp step
+        self._route_table = None
 
     def __len__(self):
         """Batches per epoch. Exact for the single-bucket case (incl.
@@ -369,8 +373,132 @@ class Loader:
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
 
+    def _static_bucket_of(self) -> dict:
+        """idx -> bucket FABindConfig (None = oversize), computed ONCE from
+        the deterministic noise-free sample build (group='test': no crop
+        noise, no rotation — batching.py:94) — identical on every host.
+
+        Static routing decouples bucket choice from the per-epoch crop
+        noise: the epoch's noisy crop may keep more pocket residues than
+        the bucket's max_pocket, which then truncates with the standard
+        pocket_overflow counter (the same headroom hazard single-host
+        bucketed training already carries, buckets.py pocket_headroom)."""
+        if self._route_table is not None:
+            return self._route_table
+
+        def route_one(idx):
+            raw = self.source.get(idx)
+            s = build_sample(raw, self.cfg, group="test",
+                             rng=np.random.RandomState(0),
+                             isomorphisms=raw.get("isomorphisms"))
+            return idx, self._route(s)
+
+        table = {}
+        if self.workers:
+            ex = ThreadPoolExecutor(self.workers,
+                                    thread_name_prefix="fabind-route")
+            try:
+                for idx, cfg_b in ex.map(route_one, self.indices):
+                    table[idx] = cfg_b
+            finally:
+                ex.shutdown(wait=False, cancel_futures=True)
+        else:
+            for idx in self.indices:
+                table[idx] = route_one(idx)[1]
+        self._route_table = table
+        return table
+
+    def _epoch_global_schedule(self, epoch: int, with_meta: bool,
+                               skip_batches: int = 0) -> Iterator:
+        """host_shard + multiple buckets (round-3 verdict item 6): a
+        globally-deterministic bucket schedule instead of degrading to one
+        bucket. Every host computes the SAME epoch schedule — shuffle the
+        shared index with the shared seed, route each sample through the
+        static bucket table, cut global batches of batch_size *
+        process_count per bucket in stream order (trailing global batches
+        wrap-pad per bucket) — then emits only its own stride of each
+        global batch. Batch counts, bucket sequence, and sample_valid
+        layout are equal across hosts BY CONSTRUCTION, so the collective
+        dp step can never desync; oversize samples are dropped by every
+        host identically (no substitution needed).
+
+        Per-sample featurization noise is seeded by (seed, epoch, global
+        batch, global slot), so mid-epoch resume (`skip_batches`) skips
+        whole batches without featurizing them — exact and cheaper than
+        the single-host path's replay."""
+        pi, pc = self.host_shard
+        G = self.batch_size * pc
+        rng = np.random.RandomState(self.seed + epoch)
+        order = list(self.indices)
+        if self.group == "train":
+            rng.shuffle(order)
+        table = self._static_bucket_of()
+
+        queues = {id(c): [] for c in self.bucket_cfgs}
+        sched = []                       # (cfg_b, [idx]*G, n_real_global)
+        for idx in order:
+            cfg_b = table[idx]
+            if cfg_b is None:
+                self.n_dropped += 1
+                continue
+            q = queues[id(cfg_b)]
+            q.append(idx)
+            if len(q) == G:
+                sched.append((cfg_b, list(q), G))
+                q.clear()
+        for c in self.bucket_cfgs:
+            q = queues[id(c)]
+            if q:
+                n_real = len(q)
+                while len(q) < G:
+                    q.append(q[-1])      # wrap-pad the trailing global batch
+                sched.append((c, list(q), n_real))
+        # per-(batch, slot) featurization seeds, identical on all hosts
+        srng = np.random.RandomState((self.seed + 77977 + epoch) % 2 ** 31)
+        seeds = srng.randint(0, 2 ** 31 - 1, size=(max(len(sched), 1), G))
+
+        def build(j_idx):
+            j, idx = j_idx
+            raw = self.source.get(idx)
+            s = build_sample(raw, self.cfg, group=self.group,
+                             rng=np.random.RandomState(seeds[bi][j]),
+                             isomorphisms=raw.get("isomorphisms"))
+            return idx, raw, s
+
+        ex = (ThreadPoolExecutor(self.workers,
+                                 thread_name_prefix="fabind-data")
+              if self.workers else None)
+        try:
+            for bi, (cfg_b, idxs, n_real) in enumerate(sched):
+                if bi < skip_batches:
+                    continue
+                mine = [(j, idxs[j]) for j in range(pi, G, pc)]
+                built = (list(ex.map(build, mine)) if ex
+                         else [build(x) for x in mine])
+                # padded rows sit at the global tail; the stride preserves
+                # order, so this host's real rows are a prefix
+                n_valid = sum(1 for j, _ in mine if j < n_real)
+                buf = [s for _, _, s in built]
+                batch = collate(buf, cfg_b, n_valid=n_valid)
+                if with_meta:
+                    pdbs = [str(raw.get("pdb", idx))
+                            for idx, raw, _ in built]
+                    yield batch, {"pdb": pdbs[:n_valid], "n_valid": n_valid,
+                                  "cfg": cfg_b,
+                                  "iso": [s.get("isomorphisms")
+                                          for s in buf[:n_valid]]}
+                else:
+                    yield batch
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=False, cancel_futures=True)
+
     def _epoch_impl(self, epoch: int, with_meta: bool,
                     skip_batches: int = 0) -> Iterator:
+        if self.host_shard is not None and len(self.bucket_cfgs) > 1:
+            yield from self._epoch_global_schedule(epoch, with_meta,
+                                                   skip_batches)
+            return
         rng = np.random.RandomState(self.seed + epoch)
         order = list(self.indices)
         if self.group == "train":

@@ -125,7 +125,8 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
                            n_train: int = 4, n_valid: int = 2,
                            n_test: int = 2,
                            overfit: bool = False,
-                           symmetric: bool = False) -> "list[str]":
+                           symmetric: bool = False,
+                           train_sizes=None) -> "list[str]":
     """Write the fixture; returns the pdb ids of the kept (filter-passing)
     rows in index order. Also includes rows the reference's split filters
     must EXCLUDE (oversize ligand, too few contacts, use_compound_com=False)
@@ -133,7 +134,10 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
 
     overfit=True makes the test rows EXACT COPIES of the first train
     complexes (same synthesis seed), so evaluating the test split after
-    training measures train-set memorization — the convergence probe."""
+    training measures train-set memorization — the convergence probe.
+
+    train_sizes: optional [(n_atoms, n_res)] per train row — mixed-size
+    stores for the sustained-throughput probe (tools/perf_e2e_train.py)."""
     import pandas as pd
 
     p = os.path.join(root, "dataset", "processed")
@@ -174,7 +178,11 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
         names.append(pdb)
 
     for i in range(n_train):
-        add(f"tr{i:02d}", "train", sym=symmetric)
+        kw = {}
+        if train_sizes is not None:
+            kw = dict(n_atoms=int(train_sizes[i][0]),
+                      n_res=int(train_sizes[i][1]))
+        add(f"tr{i:02d}", "train", sym=symmetric, **kw)
     # filter-exercising rows (all group=train)
     # c_length=120: excluded by the base filter (<100) but kept by the
     # FABind+ expand_clength filter (<150) — exercises both variants
