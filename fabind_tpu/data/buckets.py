@@ -154,9 +154,9 @@ def resolve_buckets(spec: Optional[str], cfg: FABindConfig, source=None,
 
     With `single=True`, "auto" sizes ONE bucket at the measured maxima
     (padded, + pocket headroom, clamped to cfg.shapes) instead of a
-    multi-bucket partition — the multi-host dp fallback, where data-dependent
-    per-bucket batch counts would desynchronize the collective train step
-    (Loader rejects buckets+host_shard)."""
+    multi-bucket partition. (No in-repo caller anymore: multi-host dp now
+    runs real buckets through the Loader's globally-deterministic schedule,
+    dataset.py:_epoch_global_schedule; kept for max-shape sizing uses.)"""
     if not spec or spec == "none":
         return None
     if spec.startswith("auto"):
