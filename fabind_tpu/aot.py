@@ -46,6 +46,14 @@ def _bucket_name(shapes) -> str:
             f"{shapes.max_protein}.jaxexport")
 
 
+def _sampling_names(shapes) -> Tuple[str, str]:
+    """(pocket half, stochastic dock half) artifact file names — the
+    sampling path's two-program split (cli/sample.py)."""
+    stem = (f"{shapes.max_ligand}_{shapes.max_pocket}_"
+            f"{shapes.max_protein}.jaxexport")
+    return f"pocket_{stem}", f"sample_{stem}"
+
+
 def _spec_batch(cfg_b, batch_size: int, bf16: bool):
     """(flat ShapeDtypeStruct leaves, treedef) of the serving-time batch:
     `collate(..., n_valid=...)` output — sample_valid present, isomorphism
@@ -87,14 +95,25 @@ def export_inference(cfg, params, out_dir: str, *,
                      buckets: Optional[Sequence] = None,
                      batch_size: int = 8, bf16: bool = True,
                      platforms: Sequence[str] = ("cpu", "tpu"),
-                     post_optim_steps: int = 0) -> Dict:
+                     post_optim_steps: int = 0,
+                     sampling: bool = False) -> Dict:
     """Export the per-bucket inference executables to `out_dir`.
 
     `params` is the restored checkpoint param tree (fp32; the bf16
     deployment cast happens here so the artifact bakes the exact serving
     weights). Returns the manifest dict. Each bucket's program mirrors
     `DockingEngine._fn` (serve.py): inference_diag (or the flexible
-    variant) plus the optional on-device LAS post-optimization."""
+    variant) plus the optional on-device LAS post-optimization.
+
+    sampling=True additionally exports the FABind+ best-of-N path per
+    bucket (round-3 verdict item 7 — the deployment mode that needs AOT
+    most, at ~sample_size x the regression cost; reference
+    inference_sampling_fabind.py:148-210): the pocket half and the
+    STOCHASTIC dock half with an explicit uint32[2] rng-key input (jax
+    threefry is platform-independent, so dropout draws are reproducible
+    across cpu/tpu), consumed by `DockingEngine.from_exported(...)
+    .dock_best_of`. Requires a config with the confidence head
+    (e.g. preset('fabind_plus_sampling'))."""
     import jax
 
     from fabind_tpu.data.buckets import sort_bucket_cfgs
@@ -138,8 +157,46 @@ def export_inference(cfg, params, out_dir: str, *,
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
         s = cfg_b.shapes
-        entries.append({"file": name,
-                        "shapes": dataclasses.asdict(s)})
+        entry = {"file": name, "shapes": dataclasses.asdict(s)}
+
+        if sampling:
+            import jax.numpy as jnp
+            assert cfg_b.model.confidence_training, \
+                ("sampling export needs the confidence head — use a "
+                 "fabind_plus_sampling config")
+
+            def pocket_flat(*leaves, _model=model, _treedef=treedef):
+                batch = jax.tree_util.tree_unflatten(_treedef, leaves)
+                return _model.apply({"params": params}, batch,
+                                    method="_pocket_pred",
+                                    deterministic=True)
+
+            def sample_flat(*args, _model=model, _treedef=treedef):
+                *leaves, center, key = args
+                batch = jax.tree_util.tree_unflatten(_treedef, leaves)
+
+                def run(mdl, batch, center):
+                    return mdl.inference(batch, center_override=center,
+                                         deterministic=False)
+                return _model.apply({"params": params}, batch, center,
+                                    method=run,
+                                    rngs={"dropout": key, "sample": key})
+
+            center_spec = jax.ShapeDtypeStruct((batch_size, 3), jnp.float32)
+            key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+            pexp = jexport.export(jax.jit(pocket_flat),
+                                  platforms=list(platforms))(*specs)
+            sexp = jexport.export(jax.jit(sample_flat),
+                                  platforms=list(platforms))(
+                *specs, center_spec, key_spec)
+            pname, sname = _sampling_names(cfg_b.shapes)
+            with open(os.path.join(out_dir, pname), "wb") as f:
+                f.write(pexp.serialize())
+            with open(os.path.join(out_dir, sname), "wb") as f:
+                f.write(sexp.serialize())
+            entry["pocket_file"] = pname
+            entry["sample_file"] = sname
+        entries.append(entry)
 
     manifest = {
         "format_version": _FORMAT_VERSION,
@@ -150,6 +207,7 @@ def export_inference(cfg, params, out_dir: str, *,
         "bf16": bf16,
         "flexible": flexible,
         "post_optim_steps": post_optim_steps,
+        "sampling": bool(sampling),
         "platforms": list(platforms),
         "outputs": list(_OUTPUTS_FLEX if flexible else _OUTPUTS_BASE),
     }
@@ -187,14 +245,22 @@ class ExportedInference:
         self.bf16 = bool(self.manifest["bf16"])
         self.flexible = bool(self.manifest["flexible"])
         self.post_optim_steps = int(self.manifest["post_optim_steps"])
+        self.sampling = bool(self.manifest.get("sampling", False))
         self.bucket_cfgs = [
             self.cfg.replace(
                 shapes=dataclasses.replace(self.cfg.shapes, **e["shapes"]))
             for e in self.manifest["buckets"]]
         self._exported = {}
+        self._sampling_exported = {}
         for cfg_b, e in zip(self.bucket_cfgs, self.manifest["buckets"]):
             with open(os.path.join(path, e["file"]), "rb") as f:
                 self._exported[id(cfg_b)] = jexport.deserialize(f.read())
+            if self.sampling:
+                with open(os.path.join(path, e["pocket_file"]), "rb") as f:
+                    pexp = jexport.deserialize(f.read())
+                with open(os.path.join(path, e["sample_file"]), "rb") as f:
+                    sexp = jexport.deserialize(f.read())
+                self._sampling_exported[id(cfg_b)] = (pexp, sexp)
 
     def fn(self, cfg_b):
         """Engine-contract callable for one bucket config (identity-keyed,
@@ -223,3 +289,30 @@ class ExportedInference:
             return lig, conf, pkt, idx, mask, overflow
 
         return call
+
+    def sampling_halves(self, cfg_b):
+        """(pocket_fn, dock_fn) with cli/sample.py's live-halves contract —
+        pocket_fn(params, batch) -> 4-tuple; dock_fn(params, batch, center,
+        key) -> (coords, conf). Raises when the artifact was exported
+        without `sampling=True`."""
+        import jax
+        import jax.numpy as jnp
+
+        if id(cfg_b) not in self._sampling_exported:
+            raise ValueError(
+                "this artifact was exported without the sampling programs "
+                "— re-export with export_inference(..., sampling=True) / "
+                "cli.export --sampling to serve dock_best_of")
+        pexp, sexp = self._sampling_exported[id(cfg_b)]
+
+        def pocket_fn(_params, batch):
+            batch = normalize_batch(batch, self.batch_size)
+            return pexp.call(*jax.tree_util.tree_leaves(batch))
+
+        def dock_fn(_params, batch, center, key):
+            batch = normalize_batch(batch, self.batch_size)
+            return sexp.call(*jax.tree_util.tree_leaves(batch),
+                             jnp.asarray(center, jnp.float32),
+                             jnp.asarray(key, jnp.uint32))
+
+        return pocket_fn, dock_fn

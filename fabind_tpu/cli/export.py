@@ -47,6 +47,12 @@ def main(argv=None):
     p.add_argument("--post-optim-steps", type=int, default=0,
                    help="bake N on-device LAS post-optimization steps into "
                         "the program (reference fabind_inference.py:373)")
+    p.add_argument("--sampling", action="store_true",
+                   help="also export the FABind+ best-of-N sampling path "
+                        "per bucket (pocket half + stochastic dock half "
+                        "with an explicit rng-key input) so the artifact "
+                        "serves dock_best_of; needs a confidence-head "
+                        "preset (fabind_plus_sampling)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
@@ -82,10 +88,11 @@ def main(argv=None):
         cfg, params, args.output, buckets=buckets,
         batch_size=args.batch_size, bf16=not args.no_bf16,
         platforms=tuple(s for s in args.platforms.split(",") if s),
-        post_optim_steps=args.post_optim_steps)
+        post_optim_steps=args.post_optim_steps, sampling=args.sampling)
     n = len(manifest["buckets"])
-    size = sum(os.path.getsize(os.path.join(args.output, e["file"]))
-               for e in manifest["buckets"])
+    size = sum(os.path.getsize(os.path.join(args.output, e[kk]))
+               for e in manifest["buckets"]
+               for kk in ("file", "pocket_file", "sample_file") if kk in e)
     print(json.dumps({"artifacts": n, "bytes": size,
                       "seconds": round(time.perf_counter() - t0, 1),
                       "output": args.output}))

@@ -96,9 +96,14 @@ def _halves(model):
 
 def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
                  batch_idx: int = 0,
-                 use_clustering: Optional[bool] = None):
+                 use_clustering: Optional[bool] = None,
+                 halves=None):
     """Run sample_size stochastic inference passes; returns
-    (coords [S, B, Nc, 3], scores [S, B])."""
+    (coords [S, B, Nc, 3], scores [S, B]).
+
+    `halves=(pocket_fn, dock_fn)` substitutes the two compiled halves —
+    used by AOT-exported engines (fabind_tpu.aot.ExportedInference
+    .sampling_halves), where there is no live flax `model` (pass None)."""
     import jax
     import jax.numpy as jnp
     from fabind_tpu.ops.gumbel import pocket_center_rounded
@@ -106,13 +111,17 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     m = cfg.model
     use_clustering = (m.use_clustering if use_clustering is None
                       else use_clustering)
-    pocket_half, dock_half = _halves(model)
+    pocket_half, dock_half = halves if halves is not None \
+        else _halves(model)
 
     compound_out, protein_out, cls_logits, radius_pred = pocket_half(
         params, batch)
+    # f32 casts: under bf16 serving the batch/logits are ml_dtypes.bfloat16,
+    # which numpy propagates but sklearn's DBSCAN rejects
     default_center = np.asarray(pocket_center_rounded(
-        cls_logits, batch.prot_xyz, batch.prot_mask, m.gs_tau, m.gs_hard))
-    cls_probs = 1.0 / (1.0 + np.exp(-np.asarray(cls_logits)))
+        cls_logits, batch.prot_xyz, batch.prot_mask, m.gs_tau, m.gs_hard),
+        np.float32)
+    cls_probs = 1.0 / (1.0 + np.exp(-np.asarray(cls_logits, np.float32)))
 
     import jax
     # fold the batch index into both streams: with a constant seed every
@@ -124,7 +133,7 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
         center = default_center
         if use_clustering:
             center = dbscan_cluster_centers(
-                cls_probs, np.asarray(batch.prot_xyz),
+                cls_probs, np.asarray(batch.prot_xyz, np.float32),
                 np.asarray(batch.prot_mask), m.dbscan_eps,
                 m.dbscan_min_samples, m.choose_cluster_prob,
                 default_center, rng)

@@ -80,11 +80,55 @@ def test_exported_engine_warmup_and_screen(setup):
     assert all(p.error is None and np.isfinite(p.coords).all() for p in poses)
 
 
-def test_exported_engine_rejects_sampling(setup):
+def test_exported_engine_without_sampling_programs_raises(setup):
+    """Artifacts exported without sampling=True refuse dock_best_of with a
+    re-export hint (round-3 verdict item 7 closed the capability; the
+    refusal remains only for artifacts that lack the programs)."""
     _, _, out, _ = setup
     aot = DockingEngine.from_exported(out)
-    with pytest.raises(NotImplementedError, match="from_exported"):
+    with pytest.raises(ValueError, match="re-export"):
         aot.dock_best_of([make_raw(n=5, nr=20, seed=1)], sample_size=2)
+
+
+def test_sampling_export_serves_dock_best_of(tmp_path):
+    """sampling=True exports the pocket half + the STOCHASTIC dock half
+    (explicit uint32 rng-key input) per bucket; the AOT engine's
+    dock_best_of must reproduce the live engine bit-for-bit with the same
+    seed (identical fold_in key schedule, identical host DBSCAN draws)."""
+    cfg = preset("fabind_plus_sampling", **TINY)
+    small = dataclasses.replace(cfg.shapes, max_ligand=8, max_pocket=16,
+                                max_protein=32)
+    cfg = cfg.replace(shapes=small)
+    live = DockingEngine(cfg, batch_size=2, bf16=False)
+    out = str(tmp_path / "aot_sampling")
+    m = export_inference(cfg, live.params, out, batch_size=2, bf16=False,
+                         platforms=("cpu",), sampling=True)
+    assert m["sampling"] is True
+    for e in m["buckets"]:
+        assert os.path.getsize(os.path.join(out, e["pocket_file"])) > 1000
+        assert os.path.getsize(os.path.join(out, e["sample_file"])) > 1000
+
+    aot = DockingEngine.from_exported(out)
+    raws = [make_raw(n=5, nr=20, seed=1), make_raw(n=6, nr=20, seed=2),
+            make_raw(n=7, nr=24, seed=3)]
+    got = aot.dock_best_of(raws, sample_size=3, seed=5)
+    want = live.dock_best_of(raws, sample_size=3, seed=5)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g.error is None and w.error is None
+        np.testing.assert_array_equal(g.coords, w.coords)
+        assert g.confidence == pytest.approx(w.confidence)
+    # the regression surface of the same artifact still serves
+    poses = aot.dock_raw(raws[:1])
+    assert poses[0].error is None and np.isfinite(poses[0].coords).all()
+
+
+def test_sampling_export_requires_confidence_head(tmp_path):
+    cfg = preset("fabind", **TINY)
+    fp32 = DockingEngine(cfg, batch_size=2, bf16=False).params
+    with pytest.raises(AssertionError, match="confidence head"):
+        export_inference(cfg, fp32, str(tmp_path / "x"), batch_size=2,
+                         platforms=("cpu",), sampling=True)
 
 
 def test_wrong_bucket_batch_clear_error(setup):

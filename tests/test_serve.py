@@ -87,6 +87,14 @@ def test_dock_best_of_sampling():
         assert np.isfinite(pose.coords).all()
         assert np.isfinite(pose.confidence)
 
+    # bf16 serving (the deployment dtype): the host DBSCAN/center path
+    # must cast ml_dtypes.bfloat16 arrays to f32 before sklearn (round-4
+    # bench regression: DBSCAN rejects bfloat16 as 'arrays of bytes')
+    eng16 = DockingEngine(cfg, params=eng.params, batch_size=2, bf16=True)
+    poses16 = eng16.dock_best_of(raws, sample_size=2, seed=0)
+    assert all(p.error is None and np.isfinite(p.coords).all()
+               and p.coords.dtype == np.float32 for p in poses16)
+
     # post_optim_steps must apply to the winning pose (round-2 review:
     # this path previously ignored it), moving coords while keeping the
     # same confidence-selected winner
