@@ -22,6 +22,13 @@ Endpoints:
                       (never a server path), redocked from the given pose;
                       RDKit-free (pure V2000 reader). Successful poses add
                       an "sdf" field: the docked pose as molfile text.
+                      ?randomize_init=1&seed=K randomizes torsions +
+                      orientation (redocking protocol, serve.py dock_sdf).
+  POST /dock_best_of -> same .npz body as /dock_raw;
+                      ?sample_size=N&seed=K runs FABind+ best-of-N
+                      sampling (highest-confidence pose wins). Needs a
+                      confidence-head checkpoint (fabind_plus_sampling) —
+                      or an AOT engine exported with --sampling.
 
 Run:  python -m fabind_tpu.cli.serve --preset fabind --ckpt best_model.bin \
           --port 8400 [--buckets auto --data ...]
@@ -163,10 +170,28 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
                         {"error": f"body {n} bytes exceeds limit "
                                   f"{max_body_bytes}"}).encode())
                 body = self.rfile.read(n)
+                from urllib.parse import parse_qs, urlparse
+                url = urlparse(self.path)
+                self.path = url.path
+                q = parse_qs(url.query)
+
+                def qint(name, default):
+                    return int(q[name][0]) if name in q else default
+
                 if self.path == "/dock_raw":
                     raws = _group_npz(body)
                     with lock:
                         poses = engine.dock_raw(raws)
+                elif self.path == "/dock_best_of":
+                    # FABind+ best-of-N sampling: same .npz body as
+                    # /dock_raw; ?sample_size=N&seed=K (reference
+                    # inference_sampling_fabind.py:172-210). Works on AOT
+                    # engines exported with --sampling.
+                    raws = _group_npz(body)
+                    with lock:
+                        poses = engine.dock_best_of(
+                            raws, sample_size=qint("sample_size", 40),
+                            seed=qint("seed", 0))
                 elif self.path == "/screen":
                     reqs = _group_npz(body)
                     pkeys = ("protein_xyz", "esm_feat",
@@ -224,7 +249,13 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8400,
                                           "text, not a path"}).encode())
                         pairs.append((sdf, pdb))
                     with lock:
-                        poses = engine.dock_sdf(pairs)
+                        # ?randomize_init=1&seed=K: seeded torsion +
+                        # orientation randomization (redocking protocol;
+                        # serve.py dock_sdf docstring)
+                        poses = engine.dock_sdf(
+                            pairs,
+                            randomize_init=bool(qint("randomize_init", 0)),
+                            seed=qint("seed", 0))
                 else:
                     return self._reply(404, b'{"error": "not found"}')
                 self._reply(200, _poses_json(poses))

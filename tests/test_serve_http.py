@@ -212,3 +212,78 @@ def test_http_dock_sdf_inline_molfile(tmp_path, monkeypatch):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_dock_best_of_and_randomized_sdf_init():
+    """Round-4 serving-surface completion: /dock_best_of (FABind+ sampling
+    over the wire, ?sample_size&seed) and /dock_sdf?randomize_init=1
+    (seeded torsion+orientation randomization)."""
+    from fabind_tpu.data.featurize import sdf_string
+
+    cfg = preset("fabind_plus_sampling", **TINY)
+    eng = DockingEngine(cfg, batch_size=2, bf16=False)
+    srv = make_server(eng, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        raws = [make_raw(n=5, nr=20, seed=1), make_raw(n=6, nr=20, seed=2)]
+        entries = {}
+        for i, raw in enumerate(raws):
+            for k, v in raw.items():
+                entries[f"r{i}_{k}"] = v
+        status, poses = _post(base + "/dock_best_of?sample_size=2&seed=3",
+                              _npz_bytes(entries),
+                              "application/octet-stream")
+        assert status == 200 and len(poses) == 2
+        for i, pose in enumerate(poses):
+            assert pose["error"] is None
+            arr = np.asarray(pose["coords"], np.float32)
+            assert arr.shape == (5 + i, 3) and np.isfinite(arr).all()
+            assert np.isfinite(pose["confidence"])
+        # deterministic per seed over the wire
+        _, again = _post(base + "/dock_best_of?sample_size=2&seed=3",
+                         _npz_bytes(entries), "application/octet-stream")
+        np.testing.assert_array_equal(np.asarray(poses[0]["coords"]),
+                                      np.asarray(again[0]["coords"]))
+
+        # /dock_sdf?randomize_init=1: same request twice with the same seed
+        # is deterministic; different seeds move the (randomized) pose
+        import os
+        import tempfile
+        symbols = ["C", "C", "C", "O"]
+        coords = np.asarray([[0, 0, 0], [1.5, 0, 0], [2.2, 1.2, 0],
+                             [3.6, 1.3, 0.8]], np.float32)
+        sdf = sdf_string(symbols, coords,
+                         [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)])
+        import fabind_tpu.data.featurize as F
+        pdb_dir = tempfile.mkdtemp()
+        prot = make_raw(n=5, nr=20, seed=9)
+        orig_extract = F.extract_protein_structure
+        orig_esm = F.extract_esm_feature
+        F.extract_protein_structure = lambda p: {
+            "seq": "A" * 20,
+            "coords": np.repeat(prot["protein_xyz"][:, None], 4, axis=1)}
+        F.extract_esm_feature = lambda seq, **kw: prot["esm_feat"]
+        try:
+            body = json.dumps([{"sdf": sdf,
+                                "pdb": os.path.join(pdb_dir, "x.pdb")}])
+            st1, p1 = _post(base + "/dock_sdf?randomize_init=1&seed=5",
+                            body.encode(), "application/json")
+            st2, p2 = _post(base + "/dock_sdf?randomize_init=1&seed=5",
+                            body.encode(), "application/json")
+            st3, p3 = _post(base + "/dock_sdf?randomize_init=1&seed=6",
+                            body.encode(), "application/json")
+            assert st1 == st2 == st3 == 200
+            assert p1[0]["error"] is None, p1[0]["error"]
+            np.testing.assert_array_equal(np.asarray(p1[0]["coords"]),
+                                          np.asarray(p2[0]["coords"]))
+            assert not np.array_equal(np.asarray(p1[0]["coords"]),
+                                      np.asarray(p3[0]["coords"]))
+        finally:
+            F.extract_protein_structure = orig_extract
+            F.extract_esm_feature = orig_esm
+    finally:
+        srv.shutdown()
+        srv.server_close()
