@@ -128,21 +128,29 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     # loader batch would repeat the same dropout keys and DBSCAN draws,
     # narrowing the sampling distribution the best-of-N benchmark measures
     rng = np.random.RandomState((seed * 1000003 + batch_idx) % (2 ** 31))
+    prot_xyz_f32 = (np.asarray(batch.prot_xyz, np.float32)
+                    if use_clustering else None)
+    prot_mask_np = np.asarray(batch.prot_mask) if use_clustering else None
     all_coords, all_scores = [], []
     for s in range(sample_size):
         center = default_center
         if use_clustering:
             center = dbscan_cluster_centers(
-                cls_probs, np.asarray(batch.prot_xyz, np.float32),
-                np.asarray(batch.prot_mask), m.dbscan_eps,
+                cls_probs, prot_xyz_f32, prot_mask_np, m.dbscan_eps,
                 m.dbscan_min_samples, m.choose_cluster_prob,
                 default_center, rng)
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(seed), batch_idx), s)
         coords, conf = dock_half(params, batch, jnp.asarray(center), key)
-        all_coords.append(np.asarray(coords))
-        all_scores.append(np.asarray(conf))
-    return np.stack(all_coords), np.stack(all_scores)
+        # keep results ON DEVICE inside the loop: fetching per pass blocks
+        # the host on every dock dispatch, so the next pass's host work
+        # (DBSCAN) can never overlap device compute (measured 0.66 -> see
+        # DESIGN.md round-4 sampling numbers at sample_size 40)
+        all_coords.append(coords)
+        all_scores.append(conf)
+    all_coords, all_scores = jax.device_get((all_coords, all_scores))
+    return (np.stack([np.asarray(c, np.float32) for c in all_coords]),
+            np.stack([np.asarray(s, np.float32) for s in all_scores]))
 
 
 def aggregate_topn(rmsds: np.ndarray, cents: np.ndarray, confs: np.ndarray,
