@@ -46,7 +46,13 @@ def synth_complex(seed: int, n_atoms: int = 8, n_res: int = 28,
     The matching automorphism list is returned as `autos`.
     """
     rng = np.random.RandomState(seed)
-    prot = (rng.randn(n_res, 3) * 6).astype(np.float32)
+    # density-preserving spread: at the default 28 residues this is the
+    # historic *6 cloud (all calibrated tests unchanged); larger proteins
+    # grow in RADIUS like real globular proteins instead of packing every
+    # residue inside the 20 A pocket radius (which made the mixed-size
+    # perf store route half its samples to the max-pocket bucket)
+    prot = (rng.randn(n_res, 3) * 6 * (n_res / 28.0) ** (1 / 3)
+            ).astype(np.float32)
     seq = rng.randint(0, 20, size=n_res).astype(np.int64)
     esm = rng.randn(n_res, ESM_DIM).astype(np.float32) * 0.2
 

@@ -50,13 +50,17 @@ def build_store(n: int, seed: int = 0) -> str:
     """Mixed-size reference-schema store, disk-cached."""
     from fixture_pdbbind import make_reference_fixture
 
+    import fixture_pdbbind
+
     rng = np.random.RandomState(seed)
     # PDBbind-shaped mix: most ligands 10-35 atoms with a heavy tail to 48;
     # proteins 60-500 residues, median ~250
     atoms = np.clip((8 + rng.gamma(3.0, 6.0, size=n)).astype(int), 8, 48)
     res = np.clip((60 + rng.gamma(2.5, 90.0, size=n)).astype(int), 60, 500)
+    with open(fixture_pdbbind.__file__, "rb") as f:
+        gen_src = hashlib.sha256(f.read()).hexdigest()[:8]
     key = hashlib.sha256(
-        json.dumps([n, seed, atoms.tolist(), res.tolist()]).encode()
+        json.dumps([n, seed, gen_src, atoms.tolist(), res.tolist()]).encode()
     ).hexdigest()[:12]
     root = os.path.expanduser(f"~/.cache/fabind_perf_store/n{n}-{key}")
     if os.path.exists(os.path.join(root, ".complete")):
