@@ -186,6 +186,52 @@ _NUM_TO_LETTER = {4: "C", 3: "D", 15: "S", 5: "Q", 11: "K", 9: "I",
                   2: "N", 18: "Y", 12: "M"}
 
 
+def run_inject_iso_mode(args):
+    """data.pt -> data_new.pt with the `isomorphics` column: the
+    reference's offline store upgrade for FABind+ permutation-invariant
+    training (FABind_plus/fabind/tools/inject_isomorphism_to_data.py:30-47)
+    — but computed from the compound graphs ALREADY IN the LMDB store
+    (networkx VF2 over atomic-number*100 + bond-order-sum labels,
+    data/isomorphism.py — the same label scheme as the reference's
+    isomorphic_core) instead of re-reading a renumbered-SDF directory
+    through RDKit. Rows with use_compound_com=False get an empty list,
+    exactly like the reference (:35-37)."""
+    import pandas as pd
+    import torch
+
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+    from fabind_tpu.data.isomorphism import (automorphisms_from_graph,
+                                             iso_labels_from_arrays)
+
+    proc = os.path.join(args.data, "dataset", "processed")
+    src = PDBBindLMDBSource(args.data, use_esm2_feat=False)
+    # the source's own dataframe (data_new.pt when present, else data.pt):
+    # injection then re-upgrades in place without a row-index mismatch
+    df = src.index.copy()
+    isomorphics = []
+    n_nontrivial = 0
+    for i in range(len(df)):
+        if not bool(df.iloc[i].get("use_compound_com", True)):
+            isomorphics.append([])
+            continue
+        raw = src.get(i)
+        labels = iso_labels_from_arrays(raw["lig_feats"],
+                                        raw["bond_edges"],
+                                        raw.get("bond_orders"))
+        autos = automorphisms_from_graph(
+            raw["lig_feats"].shape[0], raw["bond_edges"], labels,
+            max_iso=(args.max_iso if args.max_iso > 0 else None))
+        isomorphics.append([np.asarray(a, np.int64) for a in autos])
+        if len(autos) > 1:
+            n_nontrivial += 1
+    df = pd.DataFrame({**df.to_dict(orient="dict"),
+                       "isomorphics": dict(enumerate(isomorphics))})
+    out = os.path.join(proc, "data_new.pt")
+    torch.save(df, out)
+    _log(f"wrote {out}: {len(df)} rows, "
+         f"{n_nontrivial} with a non-trivial automorphism group")
+
+
 def run_esm_lmdb_mode(args):
     """protein_1d_3d.lmdb -> esm2_t33_650M_UR50D.lmdb, the reference's
     offline embedding pass (tools/generate_esm2_t33.py:25-53) — here
@@ -288,6 +334,16 @@ def main(argv=None):
     pp.add_argument("--max-iso", type=int, default=0,
                     help="cap stored automorphisms (0 = full group)")
 
+    pj = sub.add_parser(
+        "inject-iso",
+        help="upgrade a reference-layout store's data.pt to data_new.pt "
+             "with the isomorphics column (the reference's "
+             "tools/inject_isomorphism_to_data.py, RDKit-free)")
+    pj.add_argument("--data", required=True,
+                    help="reference preprocessed PDBbind root")
+    pj.add_argument("--max-iso", type=int, default=0,
+                    help="cap stored automorphisms (0 = full group)")
+
     pe = sub.add_parser("esm")
     pe.add_argument("--seqs", default=None, help="FASTA file")
     pe.add_argument("--out", default=None)
@@ -308,6 +364,8 @@ def main(argv=None):
         run_inference_mode(args)
     elif args.mode == "pdbbind":
         run_pdbbind_mode(args)
+    elif args.mode == "inject-iso":
+        run_inject_iso_mode(args)
     else:
         run_esm_mode(args)
 

@@ -474,3 +474,38 @@ def test_cli_sample_on_plus_lmdb_fixture(tmp_path):
     assert np.isfinite(m["rmsd_mean"])
     ep0 = open(os.path.join(dump_dir, "epoch0_confidence.txt")).read()
     assert "te00" in ep0 and "te01" in ep0
+
+
+def test_inject_isomorphisms_upgrades_base_store(tmp_path):
+    """cli.preprocess inject-iso: the reference's offline data.pt ->
+    data_new.pt upgrade (tools/inject_isomorphism_to_data.py), computed
+    RDKit-free from the store's own compound graphs. On the symmetric
+    fixture it must find the known 0<->2 ligand automorphism; rows with
+    use_compound_com=False get an empty group like the reference."""
+    from fabind_tpu.cli import preprocess as prep
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+
+    root = str(tmp_path / "pdbbind")
+    make_reference_fixture(root, symmetric=True)      # base layout: data.pt
+    assert os.path.exists(os.path.join(root, "dataset", "processed",
+                                       "data.pt"))
+    prep.main(["inject-iso", "--data", root])
+    assert os.path.exists(os.path.join(root, "dataset", "processed",
+                                       "data_new.pt"))
+
+    src = PDBBindLMDBSource(root)
+    i0 = src.splits("fabind")["train"][0]
+    raw = src.get(i0)
+    iso = raw["isomorphisms"]
+    assert iso is not None and iso.shape == (2, 5)
+    perms = {tuple(p) for p in iso}
+    assert (0, 1, 2, 3, 4) in perms          # identity
+    assert (2, 1, 0, 3, 4) in perms          # the synthesized 0<->2 swap
+    # use_compound_com=False row carries an empty group -> None
+    xxcom = list(src.index["pdb"]).index("xxcom")
+    assert src.get(xxcom).get("isomorphisms") is None
+
+    # idempotent: re-running over the upgraded store (data_new.pt) works
+    prep.main(["inject-iso", "--data", root])
+    src2 = PDBBindLMDBSource(root)
+    assert src2.get(i0)["isomorphisms"].shape == (2, 5)
