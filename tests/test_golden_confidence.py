@@ -31,14 +31,23 @@ import refshim
 
 
 def _load_ref_training_confidence():
-    refshim.install_shims()
-    if refshim.REF_PLUS not in sys.path:
-        sys.path.insert(0, refshim.REF_PLUS)
-    # refshim.load_ref_models purges `utils` when switching variants;
-    # re-import fresh each time
+    """Import the PLUS variant's utils.training_confidence, purging any
+    `utils`/`models` packages another golden test loaded from the BASE
+    variant first (the two reference subprojects shadow each other's
+    package names — same dance as refshim.load_ref_models)."""
     import importlib
-    mod = importlib.import_module("utils.training_confidence")
-    return importlib.reload(mod)
+
+    refshim.install_shims()
+    for name in [m for m in list(sys.modules)
+                 if m in ("models", "utils")
+                 or m.startswith(("models.", "utils."))]:
+        del sys.modules[name]
+    refshim._LOADED.clear()
+    sys.path.insert(0, refshim.REF_PLUS)
+    try:
+        return importlib.import_module("utils.training_confidence")
+    finally:
+        sys.path.remove(refshim.REF_PLUS)
 
 
 def _make_steps(seed: int, n_complexes: int, num_copies: int,
