@@ -73,37 +73,62 @@ _JITTED_MAX = 8  # LRU bound: one entry per live shape bucket is the norm
 _JITTED_LOCK = threading.Lock()
 
 
-def _halves(model):
-    """Jitted (pocket_half, dock_half) LRU-cached per model instance — flax
+def _halves(model, mesh=None):
+    """Jitted (pocket_half, dock_half) LRU-cached per (model, mesh) — flax
     modules are frozen dataclasses, so the same model reuses its compiled
-    executables across sample_poses calls (one per serving bucket). Bounded
-    so long-lived callers cycling models can't grow it without limit;
-    locked so concurrent DockingEngine.dock_best_of callers can't race the
-    LRU bookkeeping."""
+    executables across sample_poses calls (one per serving bucket). With a
+    1-D dp `mesh`, both halves are dp-sharded like DockingEngine._fn's
+    regression path (params replicated, batch + center sharded on their
+    leading axis, rng key replicated) so best-of-N sampling scales over a
+    TPU slice too. Bounded so long-lived callers cycling models can't grow
+    it without limit; locked so concurrent DockingEngine.dock_best_of
+    callers can't race the LRU bookkeeping."""
     import jax
+    key = (model, mesh)
     with _JITTED_LOCK:
-        if model in _JITTED:
-            _JITTED.move_to_end(model)
-        else:
-            _JITTED[model] = (
+        if key in _JITTED:
+            _JITTED.move_to_end(key)
+        elif mesh is None:
+            _JITTED[key] = (
                 jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
                 jax.jit(lambda p, b, c, k, m=model:
                         _dock_half_impl(m, p, b, c, k)))
-            while len(_JITTED) > _JITTED_MAX:
-                _JITTED.popitem(last=False)
-        return _JITTED[model]
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("dp"))
+
+            def pocket_dp(p, b, m=model):
+                b = jax.lax.with_sharding_constraint(
+                    b, jax.tree_util.tree_map(lambda _: bsh, b))
+                return _pocket_half_impl(m, p, b)
+
+            def dock_dp(p, b, c, k, m=model):
+                b = jax.lax.with_sharding_constraint(
+                    b, jax.tree_util.tree_map(lambda _: bsh, b))
+                c = jax.lax.with_sharding_constraint(c, bsh)
+                return _dock_half_impl(m, p, b, c, k)
+
+            _JITTED[key] = (
+                jax.jit(pocket_dp, in_shardings=(repl, bsh)),
+                jax.jit(dock_dp, in_shardings=(repl, bsh, bsh, repl)))
+        while len(_JITTED) > _JITTED_MAX:
+            _JITTED.popitem(last=False)
+        return _JITTED[key]
 
 
 def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
                  batch_idx: int = 0,
                  use_clustering: Optional[bool] = None,
-                 halves=None):
+                 halves=None, mesh=None):
     """Run sample_size stochastic inference passes; returns
     (coords [S, B, Nc, 3], scores [S, B]).
 
     `halves=(pocket_fn, dock_fn)` substitutes the two compiled halves —
     used by AOT-exported engines (fabind_tpu.aot.ExportedInference
-    .sampling_halves), where there is no live flax `model` (pass None)."""
+    .sampling_halves), where there is no live flax `model` (pass None).
+    `mesh` dp-shards both halves over a 1-D device mesh (see _halves)."""
     import jax
     import jax.numpy as jnp
     from fabind_tpu.ops.gumbel import pocket_center_rounded
@@ -112,7 +137,7 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     use_clustering = (m.use_clustering if use_clustering is None
                       else use_clustering)
     pocket_half, dock_half = halves if halves is not None \
-        else _halves(model)
+        else _halves(model, mesh)
 
     compound_out, protein_out, cls_logits, radius_pred = pocket_half(
         params, batch)

@@ -71,7 +71,9 @@ class DockingEngine:
         `jax.sharding.Mesh`): params replicated, each fixed batch sharded on
         its leading axis, one executable per bucket as before. batch_size
         must be divisible by dp. The TPU-slice serving mode — throughput
-        scales with chips while the request API is unchanged.
+        scales with chips while the request API is unchanged. Applies to
+        every dock_* method including dock_best_of (the sampling halves
+        are dp-sharded the same way).
 
     Thread safety: every public dock_* method may be called concurrently.
     The two engine-lifetime caches (compiled executables per bucket, host
@@ -439,8 +441,8 @@ class DockingEngine:
                 halves = self._exported.sampling_halves(cfg_b)
             coords, scores = sample_poses(
                 model, self.params, batch, cfg_b,
-                sample_size, seed=seed,
-                batch_idx=bi, halves=halves)           # [S, B, Nc, 3], [S, B]
+                sample_size, seed=seed, batch_idx=bi, halves=halves,
+                mesh=self._mesh)                       # [S, B, Nc, 3], [S, B]
             best = np.argmax(scores, axis=0)           # [B]
             win = coords[best, np.arange(coords.shape[1])]   # [B, Nc, 3]
             if self.post_optim_steps:

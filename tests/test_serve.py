@@ -272,3 +272,22 @@ def test_pose_pocket_truncated_surfaced(engine):
     poses = engine.dock_raw([blob(30), blob(20)])
     assert poses[0].error is None and poses[0].pocket_truncated == 6
     assert poses[1].error is None and poses[1].pocket_truncated == 0
+
+
+def test_dock_best_of_dp_matches_single_device():
+    """Best-of-N sampling under dp serving (round-4): the dp=8 engine's
+    sampling halves are dp-sharded like the regression path (params
+    replicated, batch + center sharded, rng key replicated) and must
+    reproduce the dp=1 engine's winning poses for the same seed."""
+    cfg = preset("fabind_plus_sampling", **TINY)
+    raws = [make_raw(n=5 + (i % 3), nr=20, seed=30 + i) for i in range(8)]
+    eng1 = DockingEngine(cfg, batch_size=8, bf16=False)
+    poses1 = eng1.dock_best_of(raws, sample_size=2, seed=4)
+    eng8 = DockingEngine(cfg, params=eng1.params, batch_size=8, bf16=False,
+                         dp=8)
+    poses8 = eng8.dock_best_of(raws, sample_size=2, seed=4)
+    assert len(poses1) == len(poses8) == 8
+    for a, b in zip(poses1, poses8):
+        assert a.error is None and b.error is None
+        np.testing.assert_allclose(a.coords, b.coords, rtol=1e-4, atol=1e-4)
+        assert abs(a.confidence - b.confidence) < 1e-4
