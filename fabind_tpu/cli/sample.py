@@ -197,6 +197,9 @@ def main(argv=None):
     p.add_argument("--split", default="test")
     p.add_argument("--sample-size", type=int, default=40)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard each sampling batch over a 1-D device mesh "
+                        "of this size (batch-size must divide evenly)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--topn", type=int, default=1,
                    help="aggregate best RMSD among the top-N poses by "
@@ -247,13 +250,20 @@ def main(argv=None):
     loader = Loader(source, indices, cfg, group=args.split,
                     batch_size=args.batch_size, workers=8, prefetch_depth=2)
 
+    mesh = None
+    if args.dp > 1:
+        from fabind_tpu.parallel.mesh import make_mesh
+        assert args.batch_size % args.dp == 0, \
+            f"batch-size {args.batch_size} not divisible by dp {args.dp}"
+        mesh = make_mesh(args.dp)
+
     # [S, n] per-complex arrays across sample epochs
     rmsds, cents, confs, pdbs = [], [], [], []
     for bi, (batch, meta) in enumerate(loader.epoch(0, with_meta=True)):
         nv = meta["n_valid"]
         coords, scores = sample_poses(model, params, batch, cfg,
                                       args.sample_size, seed=args.seed,
-                                      batch_idx=bi)
+                                      batch_idx=bi, mesh=mesh)
         true = np.asarray(batch.lig_coords)
         mask = np.asarray(batch.lig_mask)
         if args.symmetric_rmsd:

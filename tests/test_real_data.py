@@ -475,6 +475,17 @@ def test_cli_sample_on_plus_lmdb_fixture(tmp_path):
     ep0 = open(os.path.join(dump_dir, "epoch0_confidence.txt")).read()
     assert "te00" in ep0 and "te01" in ep0
 
+    # --dp 2: the dp-sharded sampling halves must reproduce the
+    # single-device metrics for the same seed (round-4)
+    dp_path = str(tmp_path / "sample_dp.json")
+    sample_cli.main(["--ckpt", ckpt, "--data", root, "--split", "test",
+                     "--sample-size", "2", "--batch-size", "2",
+                     "--dp", "2", "--symmetric-rmsd",
+                     "--out", dp_path] + SHAPE_SETS)
+    md = json.load(open(dp_path))
+    assert md["n"] == 2
+    assert abs(md["rmsd_mean"] - m["rmsd_mean"]) < 1e-3, (md, m)
+
 
 def test_inject_isomorphisms_upgrades_base_store(tmp_path):
     """cli.preprocess inject-iso: the reference's offline data.pt ->
