@@ -65,6 +65,16 @@ def _dock_half_impl(model, params, batch, center, key):
                        method=run, rngs={"dropout": key, "sample": key})
 
 
+# NOTE (round-4 measured dead end): chunking K passes into one dispatch
+# via lax.map over [K, ...] centers/keys was built and MEASURED SLOWER on
+# the chip (best-of-40: 0.74 c/s vs 0.85 for per-pass dispatch at K=8) —
+# scan serializes the passes inside one executable, losing the
+# cross-dispatch pipelining the async per-pass loop gets for free, and
+# each new sample_size below K forces an extra compile. Per-pass dispatch
+# with on-device accumulation is the fastest structure here (DESIGN.md
+# round-4 sampling notes).
+
+
 import threading
 from collections import OrderedDict
 
@@ -156,6 +166,14 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     prot_xyz_f32 = (np.asarray(batch.prot_xyz, np.float32)
                     if use_clustering else None)
     prot_mask_np = np.asarray(batch.prot_mask) if use_clustering else None
+    # Per-pass dispatch with the host work INTERLEAVED: pass s+1's DBSCAN
+    # runs while the device executes pass s (async dispatch), and results
+    # stay ON DEVICE until one fetch at the end — fetching per pass blocks
+    # every dispatch (measured 0.66 c/s at sample_size 40), precomputing
+    # all centers up front serializes DBSCAN against the device (0.73),
+    # and a chunked lax.map serializes the passes inside one executable
+    # (0.74); this interleaved structure measures 0.85 (DESIGN.md round-4
+    # sampling notes).
     all_coords, all_scores = [], []
     for s in range(sample_size):
         center = default_center
@@ -167,10 +185,6 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(seed), batch_idx), s)
         coords, conf = dock_half(params, batch, jnp.asarray(center), key)
-        # keep results ON DEVICE inside the loop: fetching per pass blocks
-        # the host on every dock dispatch, so the next pass's host work
-        # (DBSCAN) can never overlap device compute (measured 0.66 -> see
-        # DESIGN.md round-4 sampling numbers at sample_size 40)
         all_coords.append(coords)
         all_scores.append(conf)
     all_coords, all_scores = jax.device_get((all_coords, all_scores))
