@@ -20,8 +20,43 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite is compile-dominated (tiny shapes,
 # many jit specializations); caching executables across runs cuts repeat
 # suite time drastically.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.jax_cache_tests"))
+#
+# MACHINE GUARD: XLA:CPU cache entries are AOT-compiled for the machine
+# that wrote them; loading them on a host with different CPU features can
+# SIGSEGV/SIGILL outright (observed: a round-4 full-suite segfault inside
+# compilation_cache.get_executable_and_time reading an entry written by a
+# previous round's different machine). The cache dir carries a CPU-feature
+# fingerprint and is WIPED when it does not match this host — the same
+# hazard __graft_entry__._host_cache_dir avoids by boot-id keying.
+
+
+def _machine_fingerprint() -> str:
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(ln for ln in f if ln.startswith("flags"))
+    except Exception:
+        flags = platform.processor() or platform.machine()
+    return hashlib.sha256(flags.encode()).hexdigest()[:16]
+
+
+_cache_dir = os.path.expanduser("~/.jax_cache_tests")
+_fp_path = os.path.join(_cache_dir, "MACHINE_FP")
+_fp = _machine_fingerprint()
+try:
+    with open(_fp_path) as f:
+        _stale = f.read().strip() != _fp
+except OSError:
+    _stale = os.path.isdir(_cache_dir) and bool(os.listdir(_cache_dir))
+if _stale:
+    import shutil
+    shutil.rmtree(_cache_dir, ignore_errors=True)
+os.makedirs(_cache_dir, exist_ok=True)
+with open(_fp_path, "w") as f:
+    f.write(_fp)
+
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
