@@ -76,8 +76,10 @@ def test_train_step_bf16_computes_in_bf16(train_setup):
     dir) — the only test to do so across many full-suite runs.
     Recompiling each run (~25s) is cheaper than a flaky suite."""
     cfg, batch, model, state, _ = train_setup
-    old_cache = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
+    # jax_enable_compilation_cache=False is the real off-switch: nulling
+    # only the dir still leaves the cache module consulted (observed: a
+    # crash inside _cache_read with the dir set to None)
+    jax.config.update("jax_enable_compilation_cache", False)
     try:
         cfg16 = cfg.replace(train=dataclasses.replace(cfg.train, bf16=True))
         step16 = jax.jit(make_train_step(model, cfg16))
@@ -86,7 +88,7 @@ def test_train_step_bf16_computes_in_bf16(train_setup):
         _, m32 = step32(state, batch)
         l16, l32 = float(m16["loss"]), float(m32["loss"])
     finally:
-        jax.config.update("jax_compilation_cache_dir", old_cache)
+        jax.config.update("jax_enable_compilation_cache", True)
     assert np.isfinite(l16) and np.isfinite(l32)
     assert l16 != l32, "bf16 step bitwise-equal to fp32: the cast is a no-op"
     assert abs(l16 - l32) / max(abs(l32), 1e-6) < 0.1, \
