@@ -237,18 +237,28 @@ def confidence_ranking_loss(scores: Array, rmsds: Array,
 
     scores/rmsds: [n]; lower rmsd should score higher. valid [n] masks
     padding entries (the reference has none; trailing-batch duplicates here
-    must not pair). Equal-rmsd pairs contribute nothing in either
-    orientation (the reference's argsort orients them arbitrarily — they
-    only arise here between identical padding copies, which `valid`
-    already removes).
+    must not pair). Equal-rmsd pairs ARE included, exactly like the
+    reference: its loop visits every sorted pair — ties too — and divides
+    by the full n*(n-1)/2 (training_confidence.py:56-67). The reference's
+    tie orientation is whatever torch.argsort happened to produce; here it
+    is pinned to STABLE-sort semantics (the earlier index plays "better"),
+    which matches any stable reference execution and is permutation-
+    deterministic (tests/test_golden_confidence.py::test_tie_semantics).
     """
     s = scores.astype(jnp.float32)
     r = rmsds.astype(jnp.float32)
     if valid is None:
         valid = jnp.ones(s.shape[0], bool)
     v = valid.astype(bool)
-    # pair (i, j) where i is strictly better (lower rmsd)
-    better = (r[:, None] < r[None, :]) & v[:, None] & v[None, :]
+    # pair (i, j) where i plays "better": strictly lower rmsd, or tied with
+    # the earlier index (stable-sort orientation). Every unordered valid
+    # pair is counted exactly once, so sum(bf) per group IS the reference's
+    # n*(n-1)/2 normalizer including ties.
+    idx = jnp.arange(s.shape[0])
+    better = ((r[:, None] < r[None, :])
+              | ((r[:, None] == r[None, :])
+                 & (idx[:, None] < idx[None, :])))
+    better = better & v[:, None] & v[None, :]
     if groups is not None:
         better = better & (groups[:, None] == groups[None, :])
     bf = better.astype(jnp.float32)

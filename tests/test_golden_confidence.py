@@ -219,6 +219,72 @@ def test_global_scope_is_bs1_degenerate_and_diverges_with_batching():
     assert abs(float(within) - float(global_)) > 1e-4
 
 
+@pytest.mark.parametrize("ranking_loss", ["logsigmoid", "dynamic_hinge"])
+def test_tie_semantics_match_reference(ranking_loss):
+    """RMSD-tied pairs are IN the loss and IN the n*(n-1)/2 normalizer,
+    exactly like the reference's sorted-pair loop (training_confidence.py:
+    56-67). The reference's tie ORIENTATION is torch.argsort-
+    implementation-defined, so the golden case gives the tied copies EQUAL
+    scores (the tie term is then orientation-invariant: -logsigmoid(0), or
+    0 for dynamic_hinge) and asserts bit-tight parity against the
+    reference's train_one_epoch executed in place."""
+    import jax.numpy as jnp
+
+    from fabind_tpu.train.losses import confidence_ranking_loss
+
+    rng = np.random.RandomState(7)
+    gt = rng.randn(6, 3).astype(np.float32) * 3
+    noise = rng.randn(6, 3).astype(np.float32)
+    # copies 0 and 1 are byte-identical poses (tied RMSD) w/ equal scores;
+    # copies 2,3 are distinct
+    preds = np.stack([gt + noise, gt + noise,
+                      gt + 2 * rng.randn(6, 3).astype(np.float32),
+                      gt + 3 * rng.randn(6, 3).astype(np.float32)])
+    scores = np.array([0.7, 0.7, -0.3, 1.1], np.float32)
+    steps = [(gt, preds, scores)]
+    ref = run_reference_epoch(steps, ranking_loss, False)
+    s, r, g = _flat_inputs(steps)
+    ours = confidence_ranking_loss(
+        jnp.asarray(s), jnp.asarray(r), loss_type=ranking_loss,
+        groups=jnp.asarray(g))
+    np.testing.assert_allclose(float(ours), ref["ranking_loss"], rtol=2e-5)
+
+    # a tie-dropping implementation would divide by 5 pairs instead of 6 —
+    # assert the full-pair normalizer directly against a numpy oracle
+    order = np.argsort(r, kind="stable")
+    ss, rr = s[order], r[order]
+    n = len(ss)
+    terms = []
+    for i in range(n):
+        for j in range(i):
+            d = ss[j] - ss[i]
+            terms.append(np.maximum(0.0, (rr[i] - rr[j]) - d)
+                         if ranking_loss == "dynamic_hinge"
+                         else np.log1p(np.exp(-d)))
+    np.testing.assert_allclose(float(ours),
+                               np.sum(terms) / (n * (n - 1) / 2), rtol=2e-5)
+
+
+def test_tie_orientation_is_stable_sort():
+    """With UNEQUAL scores on a tied pair, the pinned orientation is
+    stable-sort: the earlier index plays 'better'. (The reference's value
+    here depends on torch.argsort's tie order — this asserts OUR documented
+    deterministic choice via the numpy oracle.)"""
+    import jax.numpy as jnp
+
+    from fabind_tpu.train.losses import confidence_ranking_loss
+
+    s = np.array([2.0, -1.0, 0.5], np.float32)
+    r = np.array([1.5, 1.5, 3.0], np.float32)     # copies 0,1 tied
+    ours = float(confidence_ranking_loss(jnp.asarray(s), jnp.asarray(r),
+                                         groups=jnp.zeros(3, np.int32)))
+    # pairs (better, worse): (0,1) tie by index order, (0,2), (1,2)
+    expect = (np.log1p(np.exp(-(s[0] - s[1])))
+              + np.log1p(np.exp(-(s[0] - s[2])))
+              + np.log1p(np.exp(-(s[1] - s[2])))) / 3.0
+    np.testing.assert_allclose(ours, expect, rtol=2e-5)
+
+
 def test_within_scope_ignores_padding_groups():
     """sample_valid padding rows (trailing-batch duplicates) must form no
     pairs and contribute no group to the mean."""
