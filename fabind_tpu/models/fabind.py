@@ -415,9 +415,21 @@ class FABind(nn.Module):
         rounded-sigmoid pocket center with no-random-gumbel fallback,
         predicted crop, docking. Returns (lig_coords, pkt_coords, pkt_idx,
         pkt_mask, confidence, pocket_overflow)."""
+        pocket = self._pocket_pred(batch, deterministic)
+        return self._infer_from_pocket(batch, pocket, center_override,
+                                       deterministic)
+
+    def _infer_from_pocket(self, batch, pocket, center_override,
+                           deterministic: bool):
+        """`_infer` continuation from precomputed pocket-stage outputs
+        (compound_out, protein_out, cls_logits, radius_pred). Split out so
+        the sampling path can run ONE stochastic pocket forward per pass,
+        cluster its logits host-side, and dock with the SAME forward's
+        embeddings/radius — the reference's coupling, where each sampling
+        pass is a single model.forward (inference_sampling_fabind.py:
+        148-167) — without paying pocket prediction twice."""
         cfg = self.cfg
-        compound_out, protein_out, cls_logits, radius_pred = \
-            self._pocket_pred(batch, deterministic)
+        compound_out, protein_out, cls_logits, radius_pred = pocket
         center = pocket_center_rounded(cls_logits, batch.prot_xyz,
                                        batch.prot_mask, cfg.gs_tau, cfg.gs_hard)
         if center_override is not None:
@@ -428,6 +440,16 @@ class FABind(nn.Module):
             batch, compound_out, protein_out, idx, mask,
             jnp.asarray(True), deterministic)
         return coords, pkt_coords, idx, mask, confidence, overflow
+
+    def inference_from_pocket(self, batch, pocket,
+                              center_override: Optional[Array] = None,
+                              deterministic: bool = True
+                              ) -> Tuple[Array, Array]:
+        """Predicted-pocket docking from a precomputed pocket stage (see
+        `_infer_from_pocket`). Returns (coords [B,Nc,3], confidence [B])."""
+        coords, _, _, _, confidence, _ = self._infer_from_pocket(
+            batch, pocket, center_override, deterministic)
+        return coords, confidence
 
     def inference(self, batch, center_override: Optional[Array] = None,
                   deterministic: bool = True) -> Tuple[Array, Array]:

@@ -435,14 +435,16 @@ class DockingEngine:
         for bi, (chunk, cfg_b, batch, n_real) in enumerate(
                 self._routed_batches(raws, results)):
             if self._models:
-                model, halves = self._models[id(cfg_b)], None
+                model, halves, mode = self._models[id(cfg_b)], None, None
             else:
                 model = None
                 halves = self._exported.sampling_halves(cfg_b)
+                mode = self._exported.sampling_pocket_mode
             coords, scores = sample_poses(
                 model, self.params, batch, cfg_b,
                 sample_size, seed=seed, batch_idx=bi, halves=halves,
-                mesh=self._mesh)                       # [S, B, Nc, 3], [S, B]
+                mesh=self._mesh,
+                pocket_mode=mode)                      # [S, B, Nc, 3], [S, B]
             best = np.argmax(scores, axis=0)           # [B]
             win = coords[best, np.arange(coords.shape[1])]   # [B, Nc, 3]
             if self.post_optim_steps:

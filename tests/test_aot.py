@@ -33,7 +33,7 @@ def setup(tmp_path_factory):
 
 def test_manifest_and_artifacts(setup):
     cfg, _, out, manifest = setup
-    assert manifest["format_version"] == 1
+    assert manifest["format_version"] == 2
     assert manifest["batch_size"] == 2 and manifest["bf16"] is True
     assert manifest["outputs"] == ["lig_coords", "confidence", "overflow"]
     assert len(manifest["buckets"]) == 2

@@ -57,6 +57,52 @@ def test_dbscan_cluster_centers():
         assert d < 1.0
 
 
+def test_hoisted_clustering_matches_per_pass_composition():
+    """The fixed protocol clusters ONCE per batch and draws the pick per
+    pass; with a pass-invariant DBSCAN input that must be byte-identical to
+    the old cluster-every-pass loop (same rng consumption order)."""
+    from fabind_tpu.cli.sample import (dbscan_cluster_centers,
+                                       dbscan_clusters, pick_cluster_centers)
+    rng = np.random.RandomState(0)
+    B, Nr = 3, 60
+    coords = rng.randn(B, Nr, 3) * 2
+    coords[:, 30:] += 30.0
+    probs = np.full((B, Nr), 0.9)
+    probs[2] = 0.0                   # row with top-50 fallback path
+    mask = np.ones((B, Nr), bool)
+    mask[1, 50:] = False
+    default = rng.randn(B, 3)
+
+    per_pass_rng = np.random.RandomState(7)
+    hoisted_rng = np.random.RandomState(7)
+    clusters = dbscan_clusters(probs, coords, mask, eps=9.0, min_samples=2)
+    for _ in range(6):
+        want = dbscan_cluster_centers(probs, coords, mask, 9.0, 2, 0.5,
+                                      default, per_pass_rng)
+        got = pick_cluster_centers(clusters, 0.5, default, hoisted_rng)
+        np.testing.assert_array_equal(want, got)
+
+
+def test_stochastic_pocket_mode_varies_clusters_per_pass():
+    """The reference protocol re-derives pocket logits (and hence DBSCAN
+    input) per pass with dropout on (inference_sampling_fabind.py:148-167);
+    both protocols must produce finite diverse poses, and the two
+    protocols' pose sets must differ (different center streams)."""
+    from fabind_tpu.cli.sample import sample_poses
+    cfg, batch, model, variables = _setup()
+    fixed_c, fixed_s = sample_poses(model, variables["params"], batch, cfg,
+                                    sample_size=3, seed=0,
+                                    pocket_mode="fixed")
+    stoch_c, stoch_s = sample_poses(model, variables["params"], batch, cfg,
+                                    sample_size=3, seed=0,
+                                    pocket_mode="stochastic")
+    for c, s in ((fixed_c, fixed_s), (stoch_c, stoch_s)):
+        assert c.shape == (3, 2, cfg.shapes.max_ligand, 3)
+        assert np.isfinite(c).all() and np.isfinite(s).all()
+        assert not np.allclose(c[0], c[1])
+    assert not np.allclose(fixed_c, stoch_c)
+
+
 def test_confidence_training_updates_only_head():
     from fabind_tpu.train.confidence import (build_confidence_optimizer,
                                              make_confidence_train_step)
