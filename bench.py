@@ -241,15 +241,27 @@ def bench_real():
     assert not errs, errs
 
     iters = 5
+    # COLD protein transfers: flush the device-row cache each iteration, so
+    # every request re-uploads its ESM features over the tunnel (the
+    # pre-round-5 behavior; featurization stays host-cached in both modes)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        engine._dev_prot_rows.clear()
+        poses = engine.dock_sdf(reqs)
+    cold_dt = time.perf_counter() - t0
+    # WARM: repeat proteins hit the device-resident row cache (the
+    # screening/repeat-request serving path)
     t0 = time.perf_counter()
     for _ in range(iters):
         poses = engine.dock_sdf(reqs)
-    dt = time.perf_counter() - t0
+    warm_dt = time.perf_counter() - t0
     assert all(p.error is None and np.isfinite(p.coords).all()
                for p in poses)
-    cps = len(reqs) * iters / dt
+    cold = len(reqs) * iters / cold_dt
     _emit("complexes/sec/chip (REAL reference inference_examples, "
-          "e2e DockingEngine: featurize+dock+frame-restore, b4, bf16)", cps)
+          "e2e DockingEngine: featurize+dock+frame-restore, b4, bf16, "
+          "warm protein cache)", len(reqs) * iters / warm_dt,
+          {"cold_protein_transfers_cps": round(cold, 2)})
 
 
 def main():
