@@ -97,9 +97,9 @@ def main(argv=None):
                              feat_dim=cfg.model.compound_feat_dim,
                              prot_feat_dim=cfg.model.protein_feat_dim)
     k = jax.random.PRNGKey(0)
-    variables = jax.jit(lambda: model.init(
-        {"params": k, "dropout": k, "sample": k}, tmpl_batch, train=False,
-        stage=2))()
+    variables = jax.jit(lambda b: model.init(
+        {"params": k, "dropout": k, "sample": k}, b, train=False,
+        stage=2))(tmpl_batch)
     params, _ = checkpoints.load_params(args.ckpt, variables["params"])
 
     from fabind_tpu.data.dataset import open_source

@@ -404,9 +404,9 @@ def main(argv=None):
     tmpl = dummy_batch(cfg.shapes, batch_size=1,
                        feat_dim=cfg.model.compound_feat_dim,
                        prot_feat_dim=cfg.model.protein_feat_dim)
-    variables = jax.jit(lambda: model.init(
-        {"params": k, "dropout": k, "sample": k}, tmpl, train=False,
-        stage=2))()
+    variables = jax.jit(lambda b: model.init(
+        {"params": k, "dropout": k, "sample": k}, b, train=False,
+        stage=2))(tmpl)
     from fabind_tpu.train import checkpoints
     params, _ = checkpoints.load_params(args.ckpt, variables["params"],
                                         verbose=False)

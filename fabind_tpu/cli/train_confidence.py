@@ -54,6 +54,15 @@ def main(argv=None):
                         "reference protocol (bs=1 semantics — pairs only "
                         "between copies of the same complex); 'global' is "
                         "the cross-complex extension")
+    p.add_argument("--pose-source", default=None,
+                   choices=[None, "teacher", "inference"],
+                   help="copy generator: 'teacher' (default — the "
+                        "reference's mechanics: teacher-forced forwards, "
+                        "dropout the only diversity) or 'inference' (full "
+                        "stochastic inference passes with randomized "
+                        "ligand inits + cluster-sampled centers — the "
+                        "deployment pose distribution; the scale-capable "
+                        "source for within-protocol learning)")
     p.add_argument("--keep-cls-2A", action="store_true")
     p.add_argument("--stack-mlp", action="store_true")
     p.add_argument("--wandb", action="store_true",
@@ -121,9 +130,10 @@ def main(argv=None):
 
     model = make_model(cfg)
     key = jax.random.PRNGKey(cfg.train.seed)
-    variables = jax.jit(lambda: model.init(
-        {"params": key, "dropout": key, "sample": key}, first,
-        train=True))()
+    # batch as jit ARG, not closure capture (see trainer.create_train_state)
+    variables = jax.jit(lambda b: model.init(
+        {"params": key, "dropout": key, "sample": key}, b,
+        train=True))(first)
     params = variables["params"]
 
     if args.torch_ckpt:
@@ -156,9 +166,11 @@ def main(argv=None):
         logger.log_message("WARNING: training confidence from scratch "
                            "(no --init-ckpt/--torch-ckpt)")
 
+    pose_source = args.pose_source or "teacher"
     tx = build_confidence_optimizer(cfg, params)
     opt_state = tx.init(params)
-    step_fn = make_confidence_train_step(model, cfg, tx)
+    step_fn = make_confidence_train_step(model, cfg, tx,
+                                         pose_source=pose_source)
 
     n_train = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
@@ -166,6 +178,7 @@ def main(argv=None):
                        f"(confidence head trains, backbone frozen)")
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    host_rng = np.random.RandomState(cfg.train.seed + 2)
     step = 0
     for epoch in range(cfg.train.total_epochs):
         t0 = time.time()
@@ -174,7 +187,16 @@ def main(argv=None):
         dev_metrics = []
         for batch in loader.epoch(epoch):
             rng, k = jax.random.split(rng)
-            params, opt_state, metrics = step_fn(params, opt_state, batch, k)
+            if pose_source == "inference":
+                from fabind_tpu.train.confidence import sample_copy_inputs
+                inits, centers = sample_copy_inputs(
+                    model, params, batch, cfg, cfg.train.num_copies,
+                    host_rng, use_clustering=True)
+                params, opt_state, metrics = step_fn(
+                    params, opt_state, batch, k, inits, centers)
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch, k)
             step += 1
             n_batches += 1
             # keep metrics ON DEVICE: float(v) per step would block on the

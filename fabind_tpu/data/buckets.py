@@ -50,14 +50,22 @@ def _pad8(v: int) -> int:
     return int(-(-v // 8) * 8)
 
 
-def _cost(sizes: np.ndarray, dims: Tuple[int, int, int]) -> float:
+# Measured per-variant protein weights for _cost (tools/
+# calibrate_bucket_cost.py: least-squares fit of the real-chip train-step
+# time over a (pkt, prot) grid at cli.train's remat-on fp32 config).
+# FABind+ runs 6 docking layers with pair-embed threading and LN MLPs — a
+# heavier pair term — so its whole-protein stage weighs relatively less.
+_PROTEIN_WEIGHT = {"fabind": 0.25, "fabind_plus": 0.25}
+
+
+def _cost(sizes: np.ndarray, dims: Tuple[int, int, int],
+          protein_weight: float = 0.25) -> float:
     """Padded compute for `sizes` run at bucket `dims`: pair-chain term
     (1+Nc)(1+Np) + the whole-protein pocket-pred term (lighter hidden dim,
-    weighted down accordingly)."""
+    weighted by the variant's measured `protein_weight`)."""
     lig, pkt, prot = dims
-    # docking pair chains at hidden 512 + pocket-pred pair at hidden 128
     return len(sizes) * ((1 + lig) * (1 + pkt)
-                         + 0.25 * (1 + lig) * (1 + prot))
+                         + protein_weight * (1 + lig) * (1 + prot))
 
 
 def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
@@ -78,6 +86,7 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
     avoids paying it on typical center excursions).
     """
     base = cfg.shapes
+    w = _PROTEIN_WEIGHT.get(cfg.model.variant, 0.25)
     fit = (sizes[:, 0] <= base.max_ligand) & (sizes[:, 2] <= base.max_protein)
     sizes = sizes[fit]
     if sizes.shape[0] == 0 or k <= 1:
@@ -108,7 +117,7 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
             for i in range(j):
                 if best[i, g - 1] == INF:
                     continue
-                c = best[i, g - 1] + _cost(s[i:j], group_dims(i, j - 1))
+                c = best[i, g - 1] + _cost(s[i:j], group_dims(i, j - 1), w)
                 if c < best[j, g]:
                     best[j, g] = c
                     back[j, g] = i

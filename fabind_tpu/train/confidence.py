@@ -58,30 +58,77 @@ def build_confidence_optimizer(cfg: FABindConfig, params: Any):
     return tx
 
 
-def make_confidence_train_step(model, cfg: FABindConfig, tx):
+def _copies_teacher(model, n_copies):
+    """[C]-stacked teacher-forced stochastic forwards: copies differ through
+    dropout noise only, exactly like the reference's deep-copied batch under
+    model.train() (training_confidence.py:38)."""
+    def gen(params, batch, key, _init, _centers):
+        def one_copy(k):
+            dk, sk = jax.random.split(k)
+            out = model.apply(
+                {"params": params}, batch, train=True,
+                rngs={"dropout": dk, "sample": sk})
+            return out.coords, out.confidence
+        keys = jax.random.split(key, n_copies)
+        return jax.lax.map(one_copy, keys)
+    return gen
+
+
+def _copies_inference(model, n_copies):
+    """[C]-stacked stochastic INFERENCE passes — the deployment pose
+    population the head must rank (cli/sample.py sample_poses): per-copy
+    randomized ligand init coords [C, B, Nc, 3] and per-copy pocket-center
+    overrides [C, B, 3] (host-sampled, see sample_copy_inputs), dropout on
+    through the full predicted-pocket forward. This is the scale-capable
+    training source: unlike dropout-only teacher copies, the RMSD spread
+    across copies is real (center/torsion-driven), so the within-complex
+    ranking signal exists (round-4 verdict item 1)."""
+    def gen(params, batch, key, init_coords, centers):
+        def one_copy(args):
+            k, init_c, center = args
+            dk, sk = jax.random.split(k)
+            b = batch.replace(lig_coords_init=init_c)
+            coords, conf = model.apply(
+                {"params": params}, b,
+                method=lambda m, bb: m.inference(
+                    bb, center_override=center, deterministic=False),
+                rngs={"dropout": dk, "sample": sk})
+            return coords, conf
+        keys = jax.random.split(key, n_copies)
+        return jax.lax.map(one_copy, (keys, init_coords, centers))
+    return gen
+
+
+def make_confidence_train_step(model, cfg: FABindConfig, tx,
+                               pose_source: str = "teacher"):
     """One step over a batch of complexes, each with num_copies stochastic
-    forwards. batch arrays are the standard FABindBatch."""
+    forwards. batch arrays are the standard FABindBatch.
+
+    pose_source:
+      - "teacher" (the reference's mechanics): copies are teacher-forced
+        train-mode forwards, dropout the only diversity. Step signature
+        step(params, opt_state, batch, key).
+      - "inference": copies are full stochastic inference passes with
+        host-sampled per-copy inits/centers (the deployment distribution).
+        Step signature step(params, opt_state, batch, key, init_coords
+        [C, B, Nc, 3], centers [C, B, 3]) — build the extra inputs with
+        `sample_copy_inputs`.
+    """
     n_copies = cfg.train.num_copies
     assert n_copies >= 2, \
         "confidence ranking needs num_copies >= 2 (pairwise loss over copies)"
+    assert pose_source in ("teacher", "inference"), pose_source
+    gen = (_copies_teacher if pose_source == "teacher"
+           else _copies_inference)(model, n_copies)
 
     def rmsd_per_copy(coords, gt, mask):
         sd = jnp.sum((coords - gt) ** 2, -1)
         m = mask.astype(sd.dtype)
         return jnp.sqrt(jnp.sum(sd * m, -1) / jnp.maximum(jnp.sum(m, -1), 1.0))
 
-    def loss_fn(params, batch, key):
-        def one_copy(k):
-            dk, sk = jax.random.split(k)
-            # teacher-forced forward with dropout ON: copies differ through
-            # dropout noise only, exactly like the reference's deep-copied
-            # batch under model.train() (training_confidence.py:38)
-            out = model.apply(
-                {"params": params}, batch, train=True,
-                rngs={"dropout": dk, "sample": sk})
-            return out.coords, out.confidence
-        keys = jax.random.split(key, n_copies)
-        coords, scores = jax.lax.map(one_copy, keys)   # [C, B, ...]
+    def loss_fn(params, batch, key, init_coords, centers):
+        coords, scores = gen(params, batch, key, init_coords,
+                             centers)                  # [C, B, ...]
         rmsds = jax.vmap(
             lambda c: rmsd_per_copy(c, batch.lig_coords, batch.lig_mask)
         )(coords)                                       # [C, B]
@@ -163,7 +210,7 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
         return head, trunk
 
     @jax.jit
-    def step(params, opt_state, batch, key):
+    def _step(params, opt_state, batch, key, init_coords, centers):
         # differentiate w.r.t. the HEAD params only: the trunk is frozen
         # (reference sets requires_grad=False, train_confidence.py:163-166)
         # and the head consumes the trunk's pooled embedding at the end of
@@ -172,14 +219,114 @@ def make_confidence_train_step(model, cfg: FABindConfig, tx):
         # gradients that set_to_zero would discard
         head, trunk = _split(params)
         (loss, metrics), hgrads = jax.value_and_grad(
-            lambda h: loss_fn({**trunk, **h}, batch, key),
+            lambda h: loss_fn({**trunk, **h}, batch, key, init_coords,
+                              centers),
             has_aux=True)(head)
         grads = {**jax.tree_util.tree_map(jnp.zeros_like, trunk), **hgrads}
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    return step
+    if pose_source == "teacher":
+        def step(params, opt_state, batch, key):
+            return _step(params, opt_state, batch, key, None, None)
+        return step
+    return _step
+
+
+def randomized_init_copies(batch, n_copies: int,
+                           rng: "np.random.RandomState") -> "np.ndarray":
+    """[C, B, Nc, 3] per-copy ligand init coords: every rotatable-bond
+    torsion randomized + a uniform random rigid rotation about the init
+    centroid (serve.dock_sdf randomize_init semantics, RDKit-free via
+    data/torsion.py — reference utils.py:280-299 + 307-311). Bond edges are
+    reconstructed from the batch's top-K bond table. Host-side numpy."""
+    import numpy as np
+
+    from fabind_tpu.data.batching import uniform_random_rotation
+    from fabind_tpu.data.torsion import randomize_torsions
+
+    init = np.asarray(batch.lig_coords_init, np.float32)
+    mask = np.asarray(batch.lig_mask).astype(bool)
+    bond_idx = np.asarray(batch.bond_idx)
+    bond_mask = np.asarray(batch.bond_mask).astype(bool)
+    C, (B, Nc, _) = n_copies, init.shape
+    out = np.tile(init[None], (C, 1, 1, 1))
+    for b in range(B):
+        n = int(mask[b].sum())
+        if n < 2:
+            continue
+        ii, kk = np.nonzero(bond_mask[b, :n])
+        jj = bond_idx[b, :n][bond_mask[b, :n]]
+        keep = jj < n
+        edges = np.unique(np.sort(np.stack(
+            [ii[keep], jj[keep]], axis=1), axis=1), axis=0)
+        c = init[b, :n].mean(0, keepdims=True)
+        for s in range(C):
+            rand = randomize_torsions(init[b, :n], edges, rng)
+            out[s, b, :n] = uniform_random_rotation(rand, rng) + c
+    return out
+
+
+def sample_copy_inputs(model, params, batch, cfg: FABindConfig,
+                       n_copies: int, rng: "np.random.RandomState",
+                       use_clustering: bool = True):
+    """Host-side (init_coords [C, B, Nc, 3], centers [C, B, 3]) for
+    pose_source='inference' confidence training/eval: torsion/orientation-
+    randomized inits + DBSCAN-cluster-sampled pocket centers — exactly the
+    deployment sampling distribution the trained head ranks at inference
+    (cli/sample.py sample_poses + serve.dock_sdf randomize_init)."""
+    import numpy as np
+
+    from fabind_tpu.cli.sample import (_halves, dbscan_clusters,
+                                       pick_cluster_centers)
+    from fabind_tpu.ops.gumbel import pocket_center_rounded
+
+    m = cfg.model
+    pocket_half, _ = _halves(model)
+    _, _, cls_logits, _ = pocket_half(params, batch)
+    default_center = np.asarray(pocket_center_rounded(
+        cls_logits, batch.prot_xyz, batch.prot_mask, m.gs_tau, m.gs_hard),
+        np.float32)
+    if use_clustering:
+        cls_probs = 1.0 / (1.0 + np.exp(-np.asarray(cls_logits, np.float32)))
+        clusters = dbscan_clusters(
+            cls_probs, np.asarray(batch.prot_xyz, np.float32),
+            np.asarray(batch.prot_mask), m.dbscan_eps, m.dbscan_min_samples)
+        centers = np.stack([pick_cluster_centers(
+            clusters, m.choose_cluster_prob, default_center, rng)
+            for _ in range(n_copies)])
+    else:
+        centers = np.tile(default_center[None], (n_copies, 1, 1))
+    return randomized_init_copies(batch, n_copies, rng), centers
+
+
+def make_confidence_eval_fn(model, cfg: FABindConfig,
+                            pose_source: str = "inference"):
+    """Jitted evalf(params, batch, key, init_coords, centers) ->
+    (scores [C, B], rmsds [C, B]) over cfg.train.num_copies stochastic
+    poses — the raw material for protocol metrics (within ranking accuracy,
+    hit rate, best-of-N vs single-pose) measured OUTSIDE the train step, on
+    held-out draws or control centers (e.g. the misdocked-pose negative
+    control: shifted centers on a large protein)."""
+    n_copies = cfg.train.num_copies
+    gen = (_copies_teacher if pose_source == "teacher"
+           else _copies_inference)(model, n_copies)
+
+    def rmsd_per_copy(coords, gt, mask):
+        sd = jnp.sum((coords - gt) ** 2, -1)
+        m = mask.astype(sd.dtype)
+        return jnp.sqrt(jnp.sum(sd * m, -1) / jnp.maximum(jnp.sum(m, -1), 1.0))
+
+    @jax.jit
+    def evalf(params, batch, key, init_coords=None, centers=None):
+        coords, scores = gen(params, batch, key, init_coords, centers)
+        rmsds = jax.vmap(
+            lambda c: rmsd_per_copy(c, batch.lig_coords, batch.lig_mask)
+        )(coords)
+        return scores, rmsds
+
+    return evalf
 
 
 def pick_best_by_confidence(coords: Array, scores: Array

@@ -37,10 +37,14 @@ def create_train_state(cfg: FABindConfig, rng: Array, batch) -> Tuple[FABind, Tr
     model = make_model(cfg)
     init_rng, state_rng = jax.random.split(rng)
     # one compiled program: eager op-by-op init costs minutes on a remote
-    # TPU (every op is a tunnel round-trip) and dominates startup
-    variables = jax.jit(lambda: model.init(
+    # TPU (every op is a tunnel round-trip) and dominates startup. The
+    # batch is a jit ARGUMENT, not a closure capture: capturing a
+    # device-resident batch makes lowering fetch every leaf back to host
+    # to inline as MLIR constants — a ~30MB device->host transfer at b12
+    # training shapes that can wedge the tunnel (measured round 5)
+    variables = jax.jit(lambda b: model.init(
         {"params": init_rng, "dropout": init_rng, "sample": init_rng},
-        batch, train=True))()
+        b, train=True))(batch)
     tx = build_optimizer(cfg.train)
     opt_state = jax.jit(tx.init)(variables["params"])
     return model, TrainState(step=jnp.zeros((), jnp.int32),

@@ -132,7 +132,7 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
                            n_test: int = 2,
                            overfit: bool = False,
                            symmetric: bool = False,
-                           train_sizes=None) -> "list[str]":
+                           train_sizes=None, test_sizes=None) -> "list[str]":
     """Write the fixture; returns the pdb ids of the kept (filter-passing)
     rows in index order. Also includes rows the reference's split filters
     must EXCLUDE (oversize ligand, too few contacts, use_compound_com=False)
@@ -143,7 +143,10 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
     training measures train-set memorization — the convergence probe.
 
     train_sizes: optional [(n_atoms, n_res)] per train row — mixed-size
-    stores for the sustained-throughput probe (tools/perf_e2e_train.py)."""
+    stores for the sustained-throughput probe (tools/perf_e2e_train.py).
+    test_sizes: same for test rows (ignored under overfit=True, where test
+    rows are copies of train rows) — the within-protocol confidence probe
+    needs LARGE unseen test proteins (tools/confidence_within_probe.py)."""
     import pandas as pd
 
     p = os.path.join(root, "dataset", "processed")
@@ -198,9 +201,13 @@ def make_reference_fixture(root: str, plus: bool = False, seed: int = 0,
     for i in range(n_valid):
         add(f"va{i:02d}", "valid")
     for i in range(n_test):
+        kw = {}
+        if test_sizes is not None and not overfit:
+            kw = dict(n_atoms=int(test_sizes[i][0]),
+                      n_res=int(test_sizes[i][1]))
         # overfit mode: test complex i IS train complex i (same synth seed)
         add(f"te{i:02d}", "test",
-            sd=(seed * 1000 + i) if overfit else None, sym=symmetric)
+            sd=(seed * 1000 + i) if overfit else None, sym=symmetric, **kw)
 
     df = pd.DataFrame(rows)
     if plus:

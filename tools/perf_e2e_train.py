@@ -80,6 +80,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=12)
     p.add_argument("--preset", default="fabind")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--buckets", default="auto",
+                   help="cli.train bucket spec (auto / auto:K / explicit "
+                        "l:p:r list) — the round-5 K sweep knob")
     p.add_argument("--out", default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (smoke runs; throughput numbers are "
@@ -133,6 +136,7 @@ def main(argv=None):
                     "--output", out, "--epochs", str(args.epochs),
                     "--batch-size", str(args.batch),
                     "--workers", str(args.workers),
+                    "--buckets", args.buckets,
                     # train throughput only: the 2-sample valid split's
                     # per-stage eval compiles would dominate the probe
                     "--eval-every", "0",
@@ -149,7 +153,7 @@ def main(argv=None):
     rec = {
         "metric": "sustained e2e cli.train complexes/s/chip "
                   f"({args.preset}, b{args.batch}, workers {args.workers}, "
-                  f"buckets auto, mixed-size store n={args.n})",
+                  f"buckets {args.buckets}, mixed-size store n={args.n})",
         "value": round(sustained, 2),
         "unit": "complexes/s",
         "epoch_seconds": [round(s, 1) for s in epoch_s],
