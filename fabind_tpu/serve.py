@@ -201,6 +201,8 @@ class DockingEngine:
         self._lock = threading.RLock()
         self._protein_cache = OrderedDict()
         self._protein_locks = {}
+        self.dev_prot_cache = 32
+        self._dev_prot_rows = OrderedDict()
         self.dp = 1
         self._mesh = None
         self.bucket_cfgs = ex.bucket_cfgs

@@ -34,12 +34,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+_STATE_CACHE = {}
+
+
+def _tiny_state(preset_name: str):
+    """Parameter/optimizer state is SHAPE-INDEPENDENT (the serve.py tiny-init
+    pattern): init once on tiny shapes so each grid point pays only its own
+    train-step compile — a full-shape model.init compile costs minutes per
+    novel shape on a 1-core host and was serializing the whole grid."""
+    import jax
+
+    from fabind_tpu.config import preset
+    from fabind_tpu.data.types import dummy_batch
+    from fabind_tpu.train.trainer import create_train_state
+
+    if preset_name not in _STATE_CACHE:
+        tiny = preset(preset_name, max_ligand=8, max_pocket=16,
+                      max_protein=32, ctx_k=6, ctx_k_whole=6,
+                      n_iter=8, batch_size=2, remat=True)
+        tb = jax.jit(lambda: dummy_batch(
+            tiny.shapes, batch_size=2, n_lig_valid=6, n_prot_valid=24))()
+        _, state = create_train_state(tiny, jax.random.PRNGKey(0), tb)
+        _STATE_CACHE[preset_name] = state
+    return _STATE_CACHE[preset_name]
+
+
 def measure_point(preset_name: str, batch: int, ml, mp, mr, iters: int):
     import jax
 
     from fabind_tpu.config import preset
     from fabind_tpu.data.types import dummy_batch
-    from fabind_tpu.train.trainer import create_train_state, make_train_step
+    from fabind_tpu.models.fabind import make_model
+    from fabind_tpu.train.trainer import make_train_step
 
     # cli.train's defaults: remat on, fp32 master weights (bf16 opt-in) —
     # the exact configuration whose throughput `--buckets auto` optimizes
@@ -49,7 +75,8 @@ def measure_point(preset_name: str, batch: int, ml, mp, mr, iters: int):
         cfg.shapes, batch_size=batch, n_lig_valid=min(ml, 48),
         n_prot_valid=mr - 8))()
     jax.block_until_ready(b)
-    model, state = create_train_state(cfg, jax.random.PRNGKey(0), b)
+    model = make_model(cfg)
+    state = _tiny_state(preset_name)
     step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
     state, m = step(state, b)             # compile
     float(jax.device_get(m["loss"]))
@@ -59,6 +86,9 @@ def measure_point(preset_name: str, batch: int, ml, mp, mr, iters: int):
         state, m = step(state, b)
         float(jax.device_get(m["loss"]))  # trustworthy fence
         times.append(time.perf_counter() - t0)
+    # the input state was donated to `step`; keep the (same-shaped) output
+    # state live for the next grid point
+    _STATE_CACHE[preset_name] = state
     return float(np.median(times))
 
 
