@@ -171,9 +171,10 @@ def bench_sampling(batch_size: int, use_bf16: bool, max_shapes: bool):
     """FABind+ best-of-N sampling throughput (the plus paper's deployment
     protocol: sample_size stochastic forwards per complex, keep the
     highest-confidence pose — reference inference_sampling_fabind.py:
-    172-210, test_sampling_fabind.py:163-175). One compiled pocket half +
-    one compiled stochastic dock half serve every sample_size (cli.sample's
-    two-half split), so S=8 and S=40 share compiles."""
+    172-210, test_sampling_fabind.py:163-175). Default protocol is
+    cfg.model.sampling_pocket_mode="stochastic" (reference-faithful: every
+    pass reruns pocket prediction with dropout and its own DBSCAN
+    clustering); the compiled programs are shared across S=8 and S=40."""
     from fabind_tpu.cli.sample import sample_poses
 
     cfg, model, variables, batch = _bench_setup(
@@ -194,8 +195,9 @@ def bench_sampling(batch_size: int, use_bf16: bool, max_shapes: bool):
         _emit(f"complexes/sec/chip (fabind+ best-of-{sample_size} sampling, "
               f"bucketed, b{batch_size}, "
               f"{'bf16' if use_bf16 else 'fp32'})", cps,
-              {"cost_model": f"~{sample_size} stochastic forwards + 1 "
-                             f"pocket pass per complex"})
+              {"cost_model": f"~{sample_size} full stochastic forwards "
+                             f"(pocket+dock) per complex",
+               "pocket_mode": cfg.model.sampling_pocket_mode})
 
 
 def bench_real():

@@ -8,9 +8,18 @@ resampled by host-side DBSCAN clustering of positive residues
 (model.py:482-502), and the pose with the highest confidence wins
 (:204-210).
 
-TPU design: the two jitted halves are split around the host DBSCAN callback —
-pocket prediction once per complex, then sample_size stochastic docking
-passes (batched over complexes); no recompilation between samples.
+TPU design: the jitted programs are split around the host DBSCAN callback;
+no recompilation between samples. `cfg.model.sampling_pocket_mode` picks the
+pocket-stage protocol (see `sample_poses`):
+  - "stochastic" (default — the reference protocol): every pass is one full
+    stochastic forward; the pocket stage reruns with dropout per pass, its
+    logits drive that pass's DBSCAN clusters, and the SAME forward's
+    embeddings feed docking (inference_sampling_fabind.py:148-154 runs the
+    whole model under model.train()).
+  - "fixed" (opt-in, ~13% faster at sample_size 40): deterministic pocket
+    stage once per batch, clusters computed once, random cluster pick +
+    stochastic docking per pass — a documented distribution-narrowing
+    deviation from the published protocol.
 """
 from __future__ import annotations
 

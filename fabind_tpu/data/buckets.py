@@ -53,9 +53,14 @@ def _pad8(v: int) -> int:
 # Measured per-variant protein weights for _cost (tools/
 # calibrate_bucket_cost.py: least-squares fit of the real-chip train-step
 # time over a (pkt, prot) grid at cli.train's remat-on fp32 config).
-# FABind+ runs 6 docking layers with pair-embed threading and LN MLPs — a
-# heavier pair term — so its whole-protein stage weighs relatively less.
-_PROTEIN_WEIGHT = {"fabind": 0.25, "fabind_plus": 0.25}
+# FABind+ measured 2026-08-21 (TPU v5e, b12, lig 48): protein_weight
+# -0.036 ± ~0.1 (fit_max_rel_err 9%) with pair_coef 70.3 µs/unit and a
+# 279 ms shape-independent constant — the 6-layer pair-embed-threaded
+# docking stack dominates so completely that the whole-protein pocket-pred
+# stage is within measurement noise of FREE. Stored as 0.05 (small
+# positive) so candidate buckets still tie-break toward less protein
+# padding instead of treating it as exactly costless.
+_PROTEIN_WEIGHT = {"fabind": 0.25, "fabind_plus": 0.05}
 
 
 def _cost(sizes: np.ndarray, dims: Tuple[int, int, int],

@@ -61,34 +61,40 @@ import numpy as np
 # hidden 64: the head decodes pose quality from the sum-pooled complex
 # embedding; 32 was measured borderline on the strength probe, and the
 # mixed-size store's signal (center/torsion-driven RMSD spread) deserves a
-# non-lossy pool. Protein cap 408 covers the store's 400-residue tail.
-SHAPE_SETS = ["--set", "max_ligand=32", "--set", "max_pocket=64",
-              "--set", "max_protein=408", "--set", "ctx_k=12",
-              "--set", "ctx_k_whole=12", "--set", "hidden_size=64",
-              "--set", "pocket_pred_hidden_size=64",
-              "--set", "mean_layers=2", "--set", "n_iter=4"]
-KV = {kv.split("=")[0]: int(kv.split("=")[1])
-      for kv in SHAPE_SETS if "=" in kv and kv.split("=")[1].isdigit()}
+# non-lossy pool. Protein cap (default 408) covers the store's tail;
+# `shape_sets(max_res)` shrinks both for the CPU/CI variant.
 
 
-def store_sizes(n_train: int, n_test: int, seed: int = 7):
+def shape_sets(max_res: int = 400):
+    cap = int(-(-(max_res + 8) // 8) * 8)
+    return ["--set", "max_ligand=32", "--set", "max_pocket=64",
+            "--set", f"max_protein={cap}", "--set", "ctx_k=12",
+            "--set", "ctx_k_whole=12", "--set", "hidden_size=64",
+            "--set", "pocket_pred_hidden_size=64",
+            "--set", "mean_layers=2", "--set", "n_iter=4"]
+
+
+def store_sizes(n_train: int, n_test: int, seed: int = 7,
+                max_res: int = 400):
     """PDBbind-shaped mixed sizes (cf. tools/perf_e2e_train.py): ligands
-    8-32 atoms, proteins 80-400 residues."""
+    8-32 atoms, proteins 80-`max_res` residues."""
     rng = np.random.RandomState(seed)
+    scale = max_res / 400.0
     def draw(n):
         atoms = np.clip((8 + rng.gamma(3.0, 4.0, size=n)).astype(int), 8, 32)
-        res = np.clip((80 + rng.gamma(2.5, 70.0, size=n)).astype(int),
-                      80, 400)
+        res = np.clip((80 + rng.gamma(2.5, 70.0 * scale, size=n)).astype(int),
+                      80, max_res)
         return list(zip(atoms.tolist(), res.tolist()))
     return draw(n_train), draw(n_test)
 
 
-def make_backbone(n_train: int, n_test: int, backbone_epochs: int):
+def make_backbone(n_train: int, n_test: int, backbone_epochs: int,
+                  max_res: int = 400):
     """(store_root, regression_run_dir), disk-cached on (sizes, argv,
     source digest)."""
     from cached_train import cached_train_run
 
-    train_sizes, test_sizes = store_sizes(n_train, n_test)
+    train_sizes, test_sizes = store_sizes(n_train, n_test, max_res=max_res)
 
     def argv(root, out):
         return ["--preset", "fabind_plus", "--data", root,
@@ -104,10 +110,10 @@ def make_backbone(n_train: int, n_test: int, backbone_epochs: int):
                 # reaches docking-usable, not memorized, quality)
                 "--set", "lr=1e-3", "--set", "warmup_epochs=2",
                 "--set", f"steps_per_epoch={max(1, n_train // 8)}"
-                ] + SHAPE_SETS
+                ] + shape_sets(max_res)
 
     return cached_train_run(
-        f"conf-within-backbone-n{n_train}-e{backbone_epochs}",
+        f"conf-within-backbone-n{n_train}-e{backbone_epochs}-r{max_res}",
         {"plus": True, "n_train": n_train, "n_valid": 2, "n_test": n_test,
          "train_sizes": train_sizes, "test_sizes": test_sizes}, argv)
 
@@ -221,6 +227,9 @@ def main(argv=None):
     p.add_argument("--conf-epochs", type=int, default=40)
     p.add_argument("--num-copies", type=int, default=4)
     p.add_argument("--eval-seeds", type=int, default=3)
+    p.add_argument("--max-res", type=int, default=400,
+                   help="store protein-size ceiling; the CI variant uses a "
+                        "smaller cap to keep CPU step cost bounded")
     args = p.parse_args(argv)
 
     from fabind_tpu.cli import train_confidence as conf_cli
@@ -230,8 +239,9 @@ def main(argv=None):
     from fabind_tpu.models.fabind import make_model
     from fabind_tpu.train import checkpoints
 
+    SHAPE_SETS = shape_sets(args.max_res)
     root, reg = make_backbone(args.n_train, args.n_test,
-                              args.backbone_epochs)
+                              args.backbone_epochs, args.max_res)
     tmp = tempfile.mkdtemp(prefix="fabind_conf_within_")
     conf = os.path.join(tmp, "conf")
     conf_cli.main(["--data", root, "--output", conf,
@@ -280,7 +290,7 @@ def main(argv=None):
     res = {"n_train": args.n_train, "n_test": len(test_idx),
            "backbone_epochs": args.backbone_epochs,
            "conf_epochs": args.conf_epochs,
-           "num_copies": args.num_copies}
+           "num_copies": args.num_copies, "max_res": args.max_res}
     per, _ = evaluate(model, params, cfg, src, test_idx,
                       args.num_copies, seeds)
     res["trained"] = summarize(per, args.num_copies)
@@ -291,7 +301,9 @@ def main(argv=None):
 
     # misdocked-pose negative control on large unseen proteins
     _, ctrl = evaluate(model, params, cfg, src, test_idx, args.num_copies,
-                       seeds[:1], misdock_shift=8.0)
+                       seeds[:1], misdock_shift=8.0,
+                       min_prot_for_control=max(120,
+                                                int(args.max_res * 0.56)))
     if ctrl:
         c = np.asarray(ctrl)   # [n, 4]: good_r, bad_r, good_s, bad_s
         res["misdock_control"] = {
