@@ -97,7 +97,15 @@ def suggest_buckets(sizes: np.ndarray, cfg: FABindConfig, k: int = 3,
     if sizes.shape[0] == 0 or k <= 1:
         return [base]
 
-    key = (1 + sizes[:, 0]).astype(np.float64) * (1 + sizes[:, 1])
+    # Sort by the per-sample cost under the variant's measured model (pair
+    # term + weighted whole-protein term), not the pair term alone: the DP
+    # partitions CONTIGUOUS runs of this key, so a pair-only key lets a
+    # small-pair/huge-protein sample land in a small bucket and force that
+    # bucket's protein dim to its own size — measured round 4 as the
+    # (lig 32, pkt 152, prot 504) dominant bucket on a median-prot-250
+    # store (DESIGN.md "Sustained end-to-end training").
+    key = ((1 + sizes[:, 0]).astype(np.float64) * (1 + sizes[:, 1])
+           + w * (1 + sizes[:, 0]) * (1 + sizes[:, 2]))
     order = np.argsort(key)
     s = sizes[order]
     n = s.shape[0]
