@@ -115,7 +115,12 @@ def make_backbone(n_train: int, n_test: int, backbone_epochs: int,
     return cached_train_run(
         f"conf-within-backbone-n{n_train}-e{backbone_epochs}-r{max_res}",
         {"plus": True, "n_train": n_train, "n_valid": 2, "n_test": n_test,
-         "train_sizes": train_sizes, "test_sizes": test_sizes}, argv)
+         "train_sizes": train_sizes, "test_sizes": test_sizes,
+         # learnable binding-site signature (fixture_pdbbind.synth_complex):
+         # with pure-noise ESM the GT site is unpredictable on unseen
+         # proteins (measured 9.5 A test docking -> no rankable signal);
+         # real ESM encodes pocket identity, so the probe store must too
+         "pocket_signal": 1.0}, argv)
 
 
 def _per_complex_metrics(scores, rmsds, sv):
