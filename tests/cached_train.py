@@ -95,3 +95,47 @@ def cached_train_run(tag: str, fixture_kwargs: Dict,
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+
+
+def cached_confidence_run(tag: str, fixture_kwargs: Dict,
+                          train_argv: Callable[[str, str], List[str]],
+                          conf_argv: Callable[[str, str, str], List[str]]
+                          ) -> Tuple[str, str, str]:
+    """(fixture_root, regression_run_dir, confidence_run_dir) for a
+    backbone + cli.train_confidence pair, both disk-cached.
+
+    The backbone half IS `cached_train_run` (same entry, shared across
+    probes); the confidence half is keyed additionally on
+    `conf_argv("<root>", "<reg_ckpt>", "<out>")` so eval-side iteration on
+    the within-protocol probe (tools/confidence_within_probe.py) and its CI
+    mirror never retrain the head. Same correctness boundary: any change
+    under fabind_tpu/ or the fixture generator invalidates both halves."""
+    key_material = json.dumps(
+        {"tag": tag, "fixture": fixture_kwargs,
+         "argv": train_argv("<root>", "<out>"),
+         "conf": conf_argv("<root>", "<reg_ckpt>", "<out>"),
+         "src": _source_digest()}, sort_keys=True)
+    key = hashlib.sha256(key_material.encode()).hexdigest()[:16]
+    dest = os.path.join(CACHE_ROOT, f"{tag}-conf-{key}")
+    conf_out = os.path.join(dest, "run")
+    root, reg = cached_train_run(tag, fixture_kwargs, train_argv)
+    if os.path.exists(os.path.join(dest, ".complete")):
+        return root, reg, conf_out
+
+    from fabind_tpu.cli import train_confidence as conf_cli
+
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".building-{tag}-conf-", dir=CACHE_ROOT)
+    try:
+        tout = os.path.join(tmp, "run")
+        conf_cli.main(conf_argv(root, os.path.join(reg, "ckpt"), tout))
+        with open(os.path.join(tmp, ".complete"), "w") as f:
+            f.write(key_material)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return root, reg, conf_out
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise

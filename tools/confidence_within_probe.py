@@ -42,7 +42,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
@@ -88,12 +87,9 @@ def store_sizes(n_train: int, n_test: int, seed: int = 7,
     return draw(n_train), draw(n_test)
 
 
-def make_backbone(n_train: int, n_test: int, backbone_epochs: int,
+def backbone_spec(n_train: int, n_test: int, backbone_epochs: int,
                   max_res: int = 400):
-    """(store_root, regression_run_dir), disk-cached on (sizes, argv,
-    source digest)."""
-    from cached_train import cached_train_run
-
+    """(tag, fixture_kwargs, train_argv) for the cached backbone run."""
     train_sizes, test_sizes = store_sizes(n_train, n_test, max_res=max_res)
 
     def argv(root, out):
@@ -112,7 +108,7 @@ def make_backbone(n_train: int, n_test: int, backbone_epochs: int,
                 "--set", f"steps_per_epoch={max(1, n_train // 8)}"
                 ] + shape_sets(max_res)
 
-    return cached_train_run(
+    return (
         f"conf-within-backbone-n{n_train}-e{backbone_epochs}-r{max_res}",
         {"plus": True, "n_train": n_train, "n_valid": 2, "n_test": n_test,
          "train_sizes": train_sizes, "test_sizes": test_sizes,
@@ -237,7 +233,7 @@ def main(argv=None):
                         "smaller cap to keep CPU step cost bounded")
     args = p.parse_args(argv)
 
-    from fabind_tpu.cli import train_confidence as conf_cli
+    from cached_train import cached_confidence_run
     from fabind_tpu.config import preset, parse_overrides
     from fabind_tpu.data.dataset import PDBBindLMDBSource
     from fabind_tpu.data.types import dummy_batch
@@ -245,19 +241,22 @@ def main(argv=None):
     from fabind_tpu.train import checkpoints
 
     SHAPE_SETS = shape_sets(args.max_res)
-    root, reg = make_backbone(args.n_train, args.n_test,
-                              args.backbone_epochs, args.max_res)
-    tmp = tempfile.mkdtemp(prefix="fabind_conf_within_")
-    conf = os.path.join(tmp, "conf")
-    conf_cli.main(["--data", root, "--output", conf,
-                   "--init-ckpt", os.path.join(reg, "ckpt"),
-                   "--pose-source", "inference",
-                   "--pair-scope", "within",
-                   "--epochs", str(args.conf_epochs),
-                   "--batch-size", "8",
-                   "--num-copies", str(args.num_copies),
-                   # head-only Adam sized for the probe's epoch budget
-                   "--set", "lr=3e-3"] + SHAPE_SETS)
+    tag, fixture_kwargs, train_argv = backbone_spec(
+        args.n_train, args.n_test, args.backbone_epochs, args.max_res)
+
+    def conf_argv(root, reg_ckpt, out):
+        return ["--data", root, "--output", out,
+                "--init-ckpt", reg_ckpt,
+                "--pose-source", "inference",
+                "--pair-scope", "within",
+                "--epochs", str(args.conf_epochs),
+                "--batch-size", "8",
+                "--num-copies", str(args.num_copies),
+                # head-only Adam sized for the probe's epoch budget
+                "--set", "lr=3e-3"] + SHAPE_SETS
+
+    root, reg, conf = cached_confidence_run(
+        tag, fixture_kwargs, train_argv, conf_argv)
 
     over = parse_overrides([kv for kv in (
         s for s in SHAPE_SETS if s != "--set")])
