@@ -54,6 +54,18 @@ def main(argv=None):
                         "num_workers=10, main_fabind.py:220); 0 = inline")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches buffered ahead of the device (0 = off)")
+    p.add_argument("--transfer-dtype", default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="wire dtype for the batch's wide ESM feature rows "
+                        "(prot_feat, [B,Nr,1280] — the dominant host->"
+                        "device bytes: ~2.6MB/sample fp32). bf16 halves "
+                        "the per-step upload; compute still runs under the "
+                        "configured precision policy (bf16 inputs promote "
+                        "against fp32 params), so this only rounds the "
+                        "frozen ESM inputs to the deployment dtype. "
+                        "Default fp32 keeps training bit-identical to the "
+                        "goldens; use bf16 when the host link is the "
+                        "bottleneck (measured: a tunneled chip is)")
     p.add_argument("--buckets", default="auto",
                    help="shape buckets: 'auto' (default) measures the train "
                         "split's size distribution and infers up to 3 "
@@ -231,6 +243,10 @@ def main(argv=None):
         batch_in_epoch = skip_batches
         for batch, meta in train_loader.epoch(epoch, with_meta=True,
                                               skip_batches=skip_batches):
+            if args.transfer_dtype == "bf16":
+                import ml_dtypes
+                batch = batch.replace(prot_feat=np.asarray(
+                    batch.prot_feat).astype(ml_dtypes.bfloat16))
             batch = shard_batch(batch, mesh)
             if args.profile_dir and run_steps == 10:
                 jax.profiler.start_trace(args.profile_dir)

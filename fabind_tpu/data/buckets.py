@@ -57,10 +57,14 @@ def _pad8(v: int) -> int:
 # -0.036 ± ~0.1 (fit_max_rel_err 9%) with pair_coef 70.3 µs/unit and a
 # 279 ms shape-independent constant — the 6-layer pair-embed-threaded
 # docking stack dominates so completely that the whole-protein pocket-pred
-# stage is within measurement noise of FREE. Stored as 0.05 (small
-# positive) so candidate buckets still tie-break toward less protein
-# padding instead of treating it as exactly costless.
-_PROTEIN_WEIGHT = {"fabind": 0.25, "fabind_plus": 0.05}
+# stage is within measurement noise of FREE. Base measured 2026-08-21 the
+# same way: protein_weight 0.040 (pair 33.2 µs/unit, prot 1.3 µs/unit,
+# 68 ms constant, fit_max_rel_err 10%) — the round-3 guess of 0.25 was 6x
+# too heavy and made the cost-keyed bucket DP trade real pair padding for
+# near-free protein padding (measured 22.6 -> 18.9 c/s e2e). Both stored
+# as 0.05 (small positive) so candidate buckets still tie-break toward
+# less protein padding instead of treating it as exactly costless.
+_PROTEIN_WEIGHT = {"fabind": 0.05, "fabind_plus": 0.05}
 
 
 def _cost(sizes: np.ndarray, dims: Tuple[int, int, int],

@@ -240,3 +240,31 @@ def load_params(ckpt: str, template: Any, verbose: bool = True
     else:
         params, report = restore_params(ckpt, template), None
     return jax.tree_util.tree_map(jnp.asarray, params), report
+
+
+def save_params_npz(path: str, params: Any) -> str:
+    """Single-file portable params artifact (compressed npz of the
+    flattened tree). NOT a training-checkpoint format — orbax
+    (`save_state`/`save_params`) remains that; this exists for small
+    committed artifacts (e.g. the within-protocol confidence regression
+    checkpoint, tests/assets/) and lightweight interchange."""
+    import numpy as np
+
+    from fabind_tpu.train.convert import _flatten
+
+    import jax
+
+    host = jax.device_get(params)
+    flat = {"/".join(k): np.asarray(v) for k, v in _flatten(host)}
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def load_params_npz(path: str) -> Any:
+    """Inverse of `save_params_npz` (plain nested-dict params tree)."""
+    import numpy as np
+
+    from fabind_tpu.train.convert import _unflatten
+
+    with np.load(path) as z:
+        return _unflatten({tuple(k.split("/")): z[k] for k in z.files})

@@ -231,6 +231,13 @@ def main(argv=None):
     p.add_argument("--max-res", type=int, default=400,
                    help="store protein-size ceiling; the CI variant uses a "
                         "smaller cap to keep CPU step cost bounded")
+    p.add_argument("--export-params", default=None,
+                   help="write the trained confidence params as a portable "
+                        "npz (checkpoints.save_params_npz) — the committed "
+                        "regression artifact the CI mirror evaluates "
+                        "(training this probe takes ~1 chip-hour-equivalent "
+                        "on the 1-core CPU CI host, so CI replays the "
+                        "learned head instead of retraining it)")
     args = p.parse_args(argv)
 
     from cached_train import cached_confidence_run
@@ -274,6 +281,10 @@ def main(argv=None):
     last = sorted(d for d in os.listdir(ckpt_dir)
                   if d.startswith("params_epoch"))[-1]
     params = checkpoints.restore_params(os.path.join(ckpt_dir, last), tmpl)
+    if args.export_params:
+        checkpoints.save_params_npz(args.export_params, params)
+        print(f"exported trained params -> {args.export_params}",
+              file=sys.stderr)
     # untrained-head baseline = exactly the state confidence training
     # started from: the regression backbone overlaid on a fresh-init head
     # (the conf_cli --init-ckpt path)

@@ -83,6 +83,11 @@ def main(argv=None):
     p.add_argument("--buckets", default="auto",
                    help="cli.train bucket spec (auto / auto:K / explicit "
                         "l:p:r list) — the round-5 K sweep knob")
+    p.add_argument("--transfer-dtype", default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="cli.train --transfer-dtype passthrough (bf16 "
+                        "halves the dominant per-step ESM upload; the "
+                        "round-5 tunneled-host lever)")
     p.add_argument("--out", default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force CPU (smoke runs; throughput numbers are "
@@ -137,6 +142,7 @@ def main(argv=None):
                     "--batch-size", str(args.batch),
                     "--workers", str(args.workers),
                     "--buckets", args.buckets,
+                    "--transfer-dtype", args.transfer_dtype,
                     # train throughput only: the 2-sample valid split's
                     # per-stage eval compiles would dominate the probe
                     "--eval-every", "0",
@@ -153,7 +159,8 @@ def main(argv=None):
     rec = {
         "metric": "sustained e2e cli.train complexes/s/chip "
                   f"({args.preset}, b{args.batch}, workers {args.workers}, "
-                  f"buckets {args.buckets}, mixed-size store n={args.n})",
+                  f"buckets {args.buckets}, transfer {args.transfer_dtype}, "
+                  f"mixed-size store n={args.n})",
         "value": round(sustained, 2),
         "unit": "complexes/s",
         "epoch_seconds": [round(s, 1) for s in epoch_s],
