@@ -520,3 +520,105 @@ def test_inject_isomorphisms_upgrades_base_store(tmp_path):
     prep.main(["inject-iso", "--data", root])
     src2 = PDBBindLMDBSource(root)
     assert src2.get(i0)["isomorphisms"].shape == (2, 5)
+
+
+@pytest.mark.slow
+def test_confidence_within_protocol_learns(tmp_path):
+    """Round-4 verdict item 1: the reference's within-complex
+    (mandatory-bs=1) confidence protocol demonstrably LEARNS.
+
+    The training-side demonstration runs on the chip
+    (`tools/confidence_within_probe.py`; DESIGN.md "Within-protocol
+    confidence learning DEMONSTRATED": unseen-test ranking 0.625, hit_rate
+    0.396 vs 0.25 chance, best-of-4-by-confidence 5.10 A vs 6.90 A mean at
+    n96/r400). Retraining that backbone takes ~60+ CPU-minutes on the
+    1-core CI host, so this mirror replays the committed chip-trained head
+    (tests/assets/confidence_within_n48r200.npz — regenerate with
+    `python tools/confidence_within_probe.py --n-train 48
+    --backbone-epochs 120 --max-res 200 --conf-epochs 30
+    --export-params <path>`) and verifies the LEARNED within-protocol
+    ranking skill end-to-end with everything else live:
+
+      - the store is rebuilt from the probe's exact spec (deterministic
+        fixture, learnable binding-site signature),
+      - pose copies are generated by the CURRENT stochastic-inference +
+        randomized-init + cluster-sampling code on the unseen test split,
+      - the baseline is the SAME params with the confidence head
+        re-initialized (fresh key-0 head = the probe's untrained-head
+        baseline), so the margin isolates what confidence TRAINING added.
+
+    Reference protocol: training_confidence.py:50-79 (within-complex
+    sorted-pair ranking), hit-rate selection metric :77-79.
+    """
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tools"))
+    import jax
+    import confidence_within_probe as probe
+    from fabind_tpu.config import preset, parse_overrides
+    from fabind_tpu.data.dataset import PDBBindLMDBSource
+    from fabind_tpu.data.types import dummy_batch
+    from fabind_tpu.models.fabind import make_model
+    from fabind_tpu.train.checkpoints import load_params_npz
+    from fabind_tpu.train.confidence import confidence_param_labels
+
+    asset = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "assets", "confidence_within_n48r200.npz")
+    _, fixture_kwargs, _ = probe.backbone_spec(48, 16, 120, 200)
+    root = str(tmp_path / "store")
+    make_reference_fixture(root, **fixture_kwargs)
+
+    shape_args = probe.shape_sets(200)
+    over = parse_overrides([kv for kv in (
+        s for s in shape_args if s != "--set")])
+    cfg = preset("fabind_plus", confidence_training=True,
+                 use_clustering=True, num_copies=4, **over)
+    model = make_model(cfg)
+    k = jax.random.PRNGKey(0)
+    first = jax.jit(lambda: dummy_batch(
+        cfg.shapes, batch_size=1,
+        prot_feat_dim=cfg.model.protein_feat_dim))()
+    tmpl = jax.jit(lambda b: model.init(
+        {"params": k, "dropout": k, "sample": k}, b,
+        train=True))(first)["params"]
+
+    trained = load_params_npz(asset)
+    # architecture-compatibility gate: the committed artifact must match
+    # the CURRENT model tree leaf-for-leaf (catches drift loudly)
+    tdef = jax.tree_util.tree_structure(tmpl)
+    adef = jax.tree_util.tree_structure(trained)
+    assert tdef == adef, "committed artifact tree != current model tree"
+    mismatched = [
+        (t.shape, a.shape)
+        for t, a in zip(jax.tree_util.tree_leaves(tmpl),
+                        jax.tree_util.tree_leaves(trained))
+        if tuple(t.shape) != tuple(a.shape)]
+    assert not mismatched, mismatched
+
+    # untrained-head baseline: trained backbone + fresh key-0 head
+    labels = confidence_param_labels(trained)
+    baseline = jax.tree_util.tree_map(
+        lambda lab, tr, fresh: fresh if lab == "train" else tr,
+        labels, trained, tmpl)
+
+    src = PDBBindLMDBSource(root)
+    test_idx = src.splits("fabind_plus")["test"]
+    seeds = [11, 12]
+    per_t, _ = probe.evaluate(model, trained, cfg, src, test_idx, 4, seeds)
+    per_b, _ = probe.evaluate(model, baseline, cfg, src, test_idx, 4, seeds)
+    t = probe.summarize(per_t, 4)
+    b = probe.summarize(per_b, 4)
+
+    # learning margins (chip-measured at this scale over 6 seeds: trained
+    # 0.569/0.260/0.583 vs untrained 0.408/0.073/0.292 — deltas 0.16 /
+    # 0.19 / 0.29; thresholds sit at roughly half the measured deltas so
+    # 2-seed CPU noise cannot flip them)
+    assert t["ranking_accuracy"] >= b["ranking_accuracy"] + 0.06, (t, b)
+    assert t["ranking_accuracy"] >= 0.52, t
+    assert t["hit_rate"] >= b["hit_rate"] + 0.05, (t, b)
+    assert t["best_of_win_fraction"] >= b["best_of_win_fraction"] + 0.10, \
+        (t, b)
+    # selection-by-confidence beats the single-pose mean on RMSD
+    assert t["chosen_rmsd"] < t["mean_single_pose_rmsd"], t
+    # sanity: selection can never beat the oracle
+    assert t["chosen_rmsd"] >= t["oracle_best_rmsd"] - 1e-6, t
